@@ -1,0 +1,193 @@
+"""CDAN restoration network in Flax, NHWC, bf16-capable.
+
+Topology parity with the reference CDAN (``models/cdan.py:8-176`` in
+/root/reference; 3,585,663 parameters — asserted in tests):
+
+* Encoder: four ConvBlocks 3→64→128→256→512 with 2×2 max-pool after the
+  first three; per-scale DenseBlocks (growth 16, 4 layers) computed on the
+  pooled features and kept as multiplicative gates; dropout 0.2.
+* Bottleneck: CBAM(512).
+* Decoder: per scale — 3×3 conv (the reference's ConvTranspose2d k3/s1/p1 is
+  spatially conv-equivalent, see SURVEY.md §7 quirks) + BN + ReLU, additive
+  skip, CBAM, multiplicative dense gate; bilinear ×2 upsampling at three
+  points; global residual add of the input; final DenseBlock(3→3) + sigmoid.
+
+Shape contract: input [B, H, W, 3] in [0,1], H and W multiples of 8;
+output same shape in [0,1].
+
+TPU-first design notes
+----------------------
+* NHWC so channels ride the 128-lane axis; all convs hit the MXU.
+* ``dtype`` sets the compute dtype (bf16 recommended on TPU); parameters and
+  BN statistics stay fp32 (Flax default param_dtype).
+* Bilinear ×2 upsample uses ``jax.image.resize`` (half-pixel centers —
+  identical semantics to torch ``align_corners=False``).
+* Everything is static-shaped and jit-friendly; no Python control flow
+  depends on values.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multi_degradation_image_enhancement_tpu.models.cbam import CBAM
+
+
+def _bilinear_x2(x: jax.Array) -> jax.Array:
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="bilinear")
+
+
+class ConvBlock(nn.Module):
+    """Conv 3×3 → BN → ReLU (reference ``models/cdan.py:8-19``)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class DenseBlock(nn.Module):
+    """DenseNet-style block (reference ``models/cdan.py:22-53``).
+
+    ``num_layers`` iterations of BN→ReLU→3×3 conv (``growth_rate`` features)
+    on the channel-concat of all previous features, then a BN→ReLU→1×1
+    transition conv to ``features`` channels.
+    """
+
+    features: int
+    growth_rate: int = 16
+    num_layers: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        feats = x
+        for i in range(self.num_layers):
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype, name=f"bn_{i}"
+            )(feats)
+            h = nn.relu(h)
+            h = nn.Conv(
+                self.growth_rate, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv_{i}"
+            )(h)
+            # Concatenation on the channel (lane) axis — cheap on TPU, and the
+            # next conv consumes it directly from VMEM.
+            feats = jnp.concatenate([feats, h], axis=-1)
+        out = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn_t"
+        )(feats)
+        out = nn.relu(out)
+        out = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv_t")(out)
+        return out
+
+
+class Encoder(nn.Module):
+    """Reference ``models/cdan.py:55-98``."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, *, train: bool = False
+    ) -> Tuple[jax.Array, Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+        drop = nn.Dropout(0.2, deterministic=not train)
+        skips = []
+        denses = []
+
+        out = ConvBlock(64, dtype=self.dtype, name="conv1")(x, train=train)
+        out = nn.max_pool(out, (2, 2), strides=(2, 2))
+        denses.append(DenseBlock(64, dtype=self.dtype, name="dense1")(out, train=train))
+        out = drop(out)
+        skips.append(out)
+
+        out = ConvBlock(128, dtype=self.dtype, name="conv2")(out, train=train)
+        out = nn.max_pool(out, (2, 2), strides=(2, 2))
+        denses.append(DenseBlock(128, dtype=self.dtype, name="dense2")(out, train=train))
+        out = drop(out)
+        skips.append(out)
+
+        out = ConvBlock(256, dtype=self.dtype, name="conv3")(out, train=train)
+        out = nn.max_pool(out, (2, 2), strides=(2, 2))
+        denses.append(DenseBlock(256, dtype=self.dtype, name="dense3")(out, train=train))
+        out = drop(out)
+        skips.append(out)
+
+        out = ConvBlock(512, dtype=self.dtype, name="conv4")(out, train=train)
+        out = drop(out)
+
+        return out, tuple(skips), tuple(denses)
+
+
+class Decoder(nn.Module):
+    """Reference ``models/cdan.py:100-159``.
+
+    The reference's ``ConvTranspose2d(k=3, s=1, p=1)`` layers are spatially
+    conv-equivalent (stride 1), so we use plain 3×3 convs — identical
+    parameter count and receptive field, and a straight MXU matmul.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        out: jax.Array,
+        skips: Tuple[jax.Array, ...],
+        denses: Tuple[jax.Array, ...],
+        *,
+        train: bool = False,
+    ) -> jax.Array:
+        def deconv_bn_relu(h, feats, name):
+            h = nn.Conv(feats, (3, 3), padding="SAME", dtype=self.dtype, name=f"{name}_conv")(h)
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, dtype=self.dtype, name=f"{name}_bn"
+            )(h)
+            return nn.relu(h)
+
+        out = deconv_bn_relu(out, 256, "de1")
+        out = out + skips[2]
+        out = CBAM(256, dtype=self.dtype, name="cbam1")(out, train=train)
+
+        out = out * denses[2]
+        out = deconv_bn_relu(out, 128, "de2")
+        out = _bilinear_x2(out)
+        out = out + skips[1]
+        out = CBAM(128, dtype=self.dtype, name="cbam2")(out, train=train)
+
+        out = out * denses[1]
+        out = deconv_bn_relu(out, 64, "de3")
+        out = _bilinear_x2(out)
+        out = out + skips[0]
+        out = CBAM(64, dtype=self.dtype, name="cbam3")(out, train=train)
+
+        out = out * denses[0]
+        out = deconv_bn_relu(out, 3, "de4")
+        out = _bilinear_x2(out)
+        out = out + x  # global residual (reference cdan.py:154)
+
+        out = DenseBlock(3, dtype=self.dtype, name="final_dense")(out, train=train)
+        return jax.nn.sigmoid(out)
+
+
+class CDAN(nn.Module):
+    """CDAN encoder–decoder with CBAM attention (reference ``models/cdan.py:164-176``)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+        out, skips, denses = Encoder(dtype=self.dtype, name="encoder")(x, train=train)
+        out = CBAM(512, dtype=self.dtype, name="bottleneck")(out, train=train)
+        out = Decoder(dtype=self.dtype, name="decoder")(x, out, skips, denses, train=train)
+        # Return in the compute dtype's fp32 form for stable losses/metrics.
+        return out.astype(jnp.float32)
