@@ -1,0 +1,135 @@
+"""Device-feeding data loader: host decode → batch → H2D → jitted transform.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` with forked worker
+processes (``utils/parser.py:98-104`` in /root/reference).  Here the only
+host work is image decode + stacking (threaded, overlapped with device
+compute); random augmentation, normalization, and — for synthetic datasets —
+the degradation itself run batched on device inside one jitted function, so
+a training step consumes (degraded, clean) pairs straight from HBM.
+
+Epoch shuffling is deterministic from a seed (reference seeds globally with
+42, ``utils/reproducibility.py:6``).
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from functools import partial
+from queue import Queue
+from typing import Any, Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_degradation_image_enhancement_tpu.ops.degradations import apply_degradation
+
+
+class DeviceDataLoader:
+    """Iterates device-resident batches.
+
+    Yields ``(inputs, targets)`` for paired datasets (both [B,H,W,3] float32
+    in the transform's output domain) or ``inputs`` for unpaired ones.
+    The final partial batch is kept (torch ``drop_last=False`` semantics);
+    it compiles once as a second shape.
+    """
+
+    def __init__(
+        self,
+        dataset: Any,
+        batch_size: int,
+        shuffle: bool = False,
+        num_workers: int = 0,
+        seed: int = 42,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = bool(shuffle)
+        self.seed = int(seed)
+        self._epoch = 0
+        self._pool = ThreadPoolExecutor(max_workers=max(1, int(num_workers) or 1))
+
+        degrade_name = getattr(dataset, "device_degrade", None)
+        transform = dataset.transform
+        paired = getattr(dataset, "paired", True)
+
+        if degrade_name is not None:
+
+            @jax.jit
+            def pipeline(clean_u8: jax.Array, key: jax.Array):
+                clean = clean_u8.astype(jnp.float32)
+                k_deg, k_aug = jax.random.split(key)
+                degraded = apply_degradation(degrade_name, clean, k_deg)
+                return transform.apply_paired(degraded, clean, k_aug)
+
+        elif paired:
+
+            @jax.jit
+            def pipeline(stacked_u8: jax.Array, key: jax.Array):
+                inp = stacked_u8[0].astype(jnp.float32)
+                tgt = stacked_u8[1].astype(jnp.float32)
+                return transform.apply_paired(inp, tgt, key)
+
+        else:
+
+            @jax.jit
+            def pipeline(inp_u8: jax.Array, key: jax.Array):
+                return transform(inp_u8.astype(jnp.float32), key)
+
+        self._pipeline = pipeline
+        self._mode = "degrade" if degrade_name is not None else ("paired" if paired else "single")
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _host_batch(self, indices: np.ndarray) -> np.ndarray:
+        if self._mode == "paired":
+            pairs = list(self._pool.map(self.dataset.load_pair, indices))
+            inp = np.stack([p[0] for p in pairs])
+            tgt = np.stack([p[1] for p in pairs])
+            return np.stack([inp, tgt])  # [2,B,H,W,3] u8
+        singles = list(self._pool.map(self.dataset.load_single, indices))
+        return np.stack(singles)
+
+    def __iter__(self) -> Iterator:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self._epoch)
+            rng.shuffle(order)
+        epoch_key = jax.random.fold_in(jax.random.key(self.seed), self._epoch)
+        self._epoch += 1
+
+        batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
+
+        # One-deep host prefetch: decode batch i+1 while the device consumes i.
+        q: Queue = Queue(maxsize=2)
+
+        def producer():
+            for bi, idxs in enumerate(batches):
+                q.put((bi, self._host_batch(idxs)))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            bi, host = item
+            key = jax.random.fold_in(epoch_key, bi)
+            yield self._pipeline(jnp.asarray(host), key)
+
+
+def define_dataloader(dataset: Any, dataloader_config: Dict[str, Any]) -> DeviceDataLoader:
+    """Signature parity with reference ``utils/parser.py:98-104``."""
+    return DeviceDataLoader(
+        dataset,
+        batch_size=dataloader_config["batch_size"],
+        shuffle=bool(dataloader_config.get("shuffle", False)),
+        num_workers=int(dataloader_config.get("num_workers", 0) or 0),
+        seed=int(dataloader_config.get("seed", 42) or 42),
+    )

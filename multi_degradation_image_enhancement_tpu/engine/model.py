@@ -1,0 +1,487 @@
+"""Train/eval engine: functional, jit-compiled, donate-buffered.
+
+Behavioral parity with the reference engine (``models/base.py:11-55`` and
+``models/model.py:25-363`` in /root/reference):
+
+  * same constructor contract (``Model(network, config=…, dataloader=…,
+    logger=…)``) and config keys (loss/metrics/post_processing/evaluation/
+    save_outputs/logging/checkpoints/train/test);
+  * Adam at ``train.lr``, best-checkpoint-by-train-loss to
+    ``model_path/model_name``, optional periodic epoch checkpoints, best-copy
+    into the run dir;
+  * test phase: paired loop with PRE (raw) / POST (post-processed) dual
+    evaluation, per-batch-averaged losses+metrics (matching the reference's
+    batch-mean-of-batches averaging, ``models/model.py:289-295``), PNG output
+    saving with the same ``save_outputs`` knobs, unpaired branch;
+  * identical logger row schemas (type/epoch/epoch_time_sec/lr/…,
+    ``loss_*``/``metric_*`` columns).
+
+TPU-first differences:
+  * the train step is one jitted function (forward + loss + backward + Adam
+    + BN-stats update) with donated state — no per-batch host sync; epoch
+    losses accumulate as device scalars and sync once per epoch (the
+    reference calls ``loss.item()`` every batch, ``models/model.py:168``);
+  * mixed precision is bf16 compute (no GradScaler — bf16 needs no loss
+    scaling), controlled by ``train.precision`` ("bf16"|"fp32", default bf16
+    on TPU);
+  * full-state resume via Orbax (``train.resume`` → checkpoint dir), a
+    capability the reference lacks;
+  * optional data-parallel sharding over a device mesh (``train.mesh``),
+    see ``parallel.mesh``.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from PIL import Image
+
+from multi_degradation_image_enhancement_tpu.engine import checkpoint as ckpt
+from multi_degradation_image_enhancement_tpu.engine.state import TrainState
+from multi_degradation_image_enhancement_tpu.ops.losses import build_loss_pipeline
+from multi_degradation_image_enhancement_tpu.ops.metrics import build_metrics_pipeline
+from multi_degradation_image_enhancement_tpu.ops.post_processing import apply_postprocessing
+
+try:
+    from tqdm import tqdm
+except Exception:  # pragma: no cover
+    def tqdm(x, **kwargs):
+        return x
+
+
+def _mean_of_dicts(dicts: List[Dict[str, jax.Array]]) -> Dict[str, float]:
+    """Average a list of device-scalar dicts; one host sync total."""
+    if not dicts:
+        return {}
+    keys = dicts[0].keys()
+    stacked = {k: jnp.stack([d[k] for d in dicts]) for k in keys}
+    means = jax.device_get({k: jnp.mean(v) for k, v in stacked.items()})
+    return {k: float(v) for k, v in means.items()}
+
+
+class BaseModel:
+    """Config plumbing shared by engines (reference ``models/base.py:11-55``)."""
+
+    def __init__(self, config, dataloader, logger=None):
+        self.config = config
+        self.phase = config["phase"]
+
+        # Device strings like "cuda" are accepted for config compatibility;
+        # placement is decided by JAX (TPU when present).
+        self.device = config[self.phase]["device"]
+        self.batch_size = config[self.phase]["dataloader"]["args"]["batch_size"]
+        self.epoch = config["train"]["n_epoch"]
+        self.lr = config["train"]["lr"]
+
+        test_cfg = config.get("test", {}) or {}
+        test_dataset_cfg = test_cfg.get("dataset", {}) or {}
+        self.is_dataset_paired = bool(
+            True if test_dataset_cfg.get("is_paired") is None else test_dataset_cfg["is_paired"]
+        )
+        self.dataloader = dataloader
+
+        self.model_path = config[self.phase]["model_path"]
+        self.model_name = config[self.phase]["model_name"]
+        self.output_images_path = test_cfg.get("output_images_path", "outputs/")
+        self.logger = logger
+
+    def train(self):
+        since = time.time()
+        self.train_step()
+        t = time.time() - since
+        print(f"Training completed in {t//60:.0f}m {t%60:.0f}s")
+
+    def test(self):
+        self.test_step()
+
+    def train_step(self):
+        raise NotImplementedError
+
+    def val_step(self):
+        raise NotImplementedError
+
+    def save_model(self, params, batch_stats):
+        path = os.path.join(self.model_path, self.model_name)
+        ckpt.save_weights(path, params, batch_stats)
+
+
+class Model(BaseModel):
+    """The restoration engine (reference ``models/model.py:25-363``)."""
+
+    def __init__(self, network, **kwargs):
+        super().__init__(**kwargs)
+        cfg = self.config
+
+        # ---- precision policy ----
+        precision = (cfg.get("train", {}) or {}).get("precision")
+        if precision is None:
+            precision = "bf16" if jax.default_backend() not in ("cpu",) else "fp32"
+        self.precision = precision
+        if precision == "bf16" and hasattr(network, "dtype"):
+            network = network.clone(dtype=jnp.bfloat16)
+        self.network = network
+
+        self.tx = optax.adam(self.lr)
+
+        # ---- pipelines from config ----
+        self.loss_cfg = cfg.get("loss", {}) or {}
+        self.metrics_cfg = cfg.get("metrics", {"enabled": False}) or {"enabled": False}
+        self.loss_pipe = build_loss_pipeline(self.loss_cfg, device=self.device)
+        self.metrics_pipe = build_metrics_pipeline(self.metrics_cfg, device=self.device)
+        self.postproc_cfg = cfg.get("post_processing", {"enabled": False}) or {"enabled": False}
+
+        # ---- output saving ----
+        self.save_cfg = dict(cfg.get("save_outputs", {}) or {})
+        self.save_cfg.setdefault("output_dir", self.output_images_path)
+        self.save_cfg.setdefault("save_raw", False)
+        self.save_cfg.setdefault("save_postprocessed", True)
+        self.save_cfg.setdefault("raw_prefix", "raw_")
+        self.save_cfg.setdefault("post_prefix", self.save_cfg.get("prefix", "output_"))
+
+        # ---- evaluation controls ----
+        eval_cfg = cfg.get("evaluation", {}) or {}
+        self.eval_on_raw = bool(True if eval_cfg.get("raw") is None else eval_cfg["raw"])
+        post_default = bool(self.postproc_cfg.get("enabled", False))
+        self.eval_on_post = bool(
+            post_default if eval_cfg.get("postprocessed") is None else eval_cfg["postprocessed"]
+        )
+
+        # ---- logging / checkpoints ----
+        log_cfg = cfg.get("logging", {}) or {}
+        self.logging_enabled = bool(log_cfg.get("enabled", False))
+        self.train_log_every = int((log_cfg.get("train", {}) or {}).get("log_every_n_batches", 0) or 0)
+        ckpt_cfg = log_cfg.get("checkpoints", {}) or {}
+        self.ckpt_enabled = bool(ckpt_cfg.get("enabled", False))
+        self.ckpt_every = int(ckpt_cfg.get("every_n_epochs", 10) or 10)
+
+        self.seed = int((cfg.get("train", {}) or {}).get("seed", 42) or 42)
+        self.best_loss = float("inf")
+
+        self.state: Optional[TrainState] = None
+        self._jit_train_step = None
+        self._jit_eval_step = None
+
+    # ------------------------------------------------------------------ #
+    # state init
+    # ------------------------------------------------------------------ #
+
+    def _init_state(self, sample_inputs: jax.Array) -> TrainState:
+        variables = self.network.init(
+            {"params": jax.random.key(self.seed), "dropout": jax.random.key(self.seed + 1)},
+            jnp.zeros_like(sample_inputs),
+            train=True,
+        )
+        return TrainState.create(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=self.tx,
+        )
+
+    def _build_train_step(self):
+        network = self.network
+        loss_pipe = self.loss_pipe
+
+        def step(state: TrainState, inputs, targets, dropout_key):
+            def loss_fn(params):
+                outputs, mutated = network.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    inputs,
+                    train=True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": dropout_key},
+                )
+                loss_dict = loss_pipe(outputs, targets=targets, inputs=inputs, is_paired=True)
+                return loss_dict["total"], (loss_dict, mutated)
+
+            (_, (loss_dict, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
+            new_state = state.apply_gradients(grads).replace(
+                batch_stats=mutated["batch_stats"]
+            )
+            return new_state, loss_dict
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        network = self.network
+        loss_pipe = self.loss_pipe
+        metrics_pipe = self.metrics_pipe
+        postproc_cfg = self.postproc_cfg
+        eval_on_raw = self.eval_on_raw
+        eval_on_post = self.eval_on_post and bool(postproc_cfg.get("enabled", False))
+
+        def step(params, batch_stats, inputs, targets):
+            outputs = network.apply(
+                {"params": params, "batch_stats": batch_stats}, inputs, train=False
+            )
+            pp_outputs = apply_postprocessing(outputs, postproc_cfg)
+            result = {"raw": outputs, "post": pp_outputs}
+            if targets is not None:
+                if eval_on_raw:
+                    result["pre_loss"] = loss_pipe(outputs, targets=targets, inputs=inputs)
+                    result["pre_metric"] = metrics_pipe(outputs, targets=targets, inputs=inputs)
+                if eval_on_post:
+                    result["post_loss"] = loss_pipe(pp_outputs, targets=targets, inputs=inputs)
+                    result["post_metric"] = metrics_pipe(pp_outputs, targets=targets, inputs=inputs)
+            return result
+
+        return jax.jit(step, static_argnames=())
+
+    # ------------------------------------------------------------------ #
+    # training
+    # ------------------------------------------------------------------ #
+
+    def train_step(self):
+        root_key = jax.random.key(self.seed)
+        train_fn = None
+        resume_dir = (self.config.get("train", {}) or {}).get("resume")
+
+        for epoch in range(self.epoch):
+            t0 = time.time()
+            batch_dicts: List[Dict[str, jax.Array]] = []
+
+            iterator = tqdm(
+                enumerate(self.dataloader),
+                desc=f"Training... Epoch: {epoch+1}/{self.epoch}",
+                total=len(self.dataloader),
+            )
+            for step_i, batch in iterator:
+                inputs, targets = batch
+                if self.state is None:
+                    self.state = self._init_state(inputs)
+                    if resume_dir:
+                        self.state = ckpt.restore_train_state(resume_dir, self.state)
+                        print(f"[CKPT] Resumed from {resume_dir} at step {int(self.state.step)}")
+                    train_fn = self._build_train_step()
+
+                dropout_key = jax.random.fold_in(root_key, epoch * 100003 + step_i)
+                self.state, loss_dict = train_fn(self.state, inputs, targets, dropout_key)
+                batch_dicts.append(loss_dict)
+
+                if (
+                    self.logging_enabled
+                    and self.logger is not None
+                    and self.train_log_every > 0
+                    and (step_i + 1) % self.train_log_every == 0
+                ):
+                    row = {"type": "batch", "epoch": epoch + 1, "step": step_i + 1}
+                    for k, v in jax.device_get(loss_dict).items():
+                        row[f"loss_{k}"] = float(v)
+                    self.logger.log_train(row)
+
+            avg_comps = _mean_of_dicts(batch_dicts)
+            epoch_loss = avg_comps.get("total", float("nan"))
+
+            # ---- best checkpoint (train-loss policy, reference parity) ----
+            if epoch_loss < self.best_loss:
+                self.best_loss = epoch_loss
+                self.save_model(self.state.params, self.state.batch_stats)
+                self._maybe_copy_best_to_run_dir()
+
+            if self.logging_enabled and self.logger is not None:
+                row = {
+                    "type": "epoch",
+                    "epoch": epoch + 1,
+                    "epoch_time_sec": float(time.time() - t0),
+                    "lr": float(self.lr),
+                    "best_loss_so_far": float(self.best_loss),
+                }
+                for k, v in avg_comps.items():
+                    row[f"loss_{k}"] = float(v)
+                self.logger.log_train(row)
+                self.logger.set_summary(
+                    {
+                        "best_train_loss": float(self.best_loss),
+                        "epochs_completed": int(epoch + 1),
+                    }
+                )
+
+            self._maybe_save_epoch_checkpoint(epoch)
+
+            comps_str = ", ".join(
+                f"{k}: {v:.4f}" for k, v in avg_comps.items() if k != "total"
+            )
+            print(
+                f"Epoch [{epoch+1}/{self.epoch}] Train total: {epoch_loss:.4f}"
+                + (f" | {comps_str}" if comps_str else "")
+                + f" | best: {self.best_loss:.4f}"
+            )
+
+    def _maybe_save_epoch_checkpoint(self, epoch_idx_0based: int):
+        if not (self.logging_enabled and self.ckpt_enabled and self.logger is not None):
+            return
+        if self.ckpt_every <= 0:
+            return
+        epoch_num = epoch_idx_0based + 1
+        if epoch_num % self.ckpt_every != 0:
+            return
+        run_dir = self.logger.run_dir()
+        if not run_dir:
+            return
+        ckpt_dir = os.path.join(run_dir, "checkpoints")
+        os.makedirs(ckpt_dir, exist_ok=True)
+        ckpt.save_weights(
+            os.path.join(ckpt_dir, f"epoch_{epoch_num:03d}.pt"),
+            self.state.params,
+            self.state.batch_stats,
+        )
+        # full-state (resumable) checkpoint alongside the weights file
+        ckpt.save_train_state(os.path.join(ckpt_dir, f"state_{epoch_num:03d}"), self.state)
+
+    def _maybe_copy_best_to_run_dir(self):
+        if not (self.logging_enabled and self.logger is not None):
+            return
+        run_dir = self.logger.run_dir()
+        if not run_dir:
+            return
+        src = os.path.join(self.model_path, self.model_name)
+        if os.path.isfile(src):
+            try:
+                shutil.copyfile(src, os.path.join(run_dir, "best.pt"))
+            except Exception:
+                pass
+
+    # ------------------------------------------------------------------ #
+    # testing
+    # ------------------------------------------------------------------ #
+
+    def _load_for_eval(self):
+        """Load weights from model_path/model_name into fresh variables."""
+        sample_hw = self.dataloader.dataset.transform.target_hw or (256, 384)
+        dummy = jnp.zeros((1, sample_hw[0], sample_hw[1], 3), jnp.float32)
+        variables = self.network.init(
+            {"params": jax.random.key(0), "dropout": jax.random.key(1)}, dummy, train=False
+        )
+        path = os.path.join(self.model_path, self.model_name)
+        loaded = ckpt.load_weights(path, variables["params"], variables.get("batch_stats", {}))
+        return loaded["params"], loaded["batch_stats"]
+
+    def _save_batch_outputs(self, outputs: np.ndarray, start_index: int, prefix: str):
+        if not self.save_cfg.get("enabled", True):
+            return
+        out_dir = self.save_cfg.get("output_dir", "outputs/")
+        os.makedirs(out_dir, exist_ok=True)
+        resize_hw = self.save_cfg.get("resize_hw")
+        fmt = self.save_cfg.get("format", "png")
+        arr = np.clip(np.asarray(outputs) * 255.0, 0, 255).astype(np.uint8)
+        for i in range(arr.shape[0]):
+            img = Image.fromarray(arr[i])
+            if resize_hw is not None:
+                img = img.resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
+            img.save(os.path.join(out_dir, f"{prefix}{start_index + i + 1}.{fmt}"))
+
+    def test_step(self):
+        params, batch_stats = self._load_for_eval()
+        eval_fn = self._build_eval_step()
+
+        out_counter = 0
+        max_save = self.save_cfg.get("max_images")
+        pre_loss_sums: Dict[str, float] = {}
+        pre_metric_sums: Dict[str, float] = {}
+        post_loss_sums: Dict[str, float] = {}
+        post_metric_sums: Dict[str, float] = {}
+        n_batches = 0
+        post_enabled = bool(self.postproc_cfg.get("enabled", False))
+
+        def accumulate(sums: Dict[str, float], d: Dict[str, jax.Array]):
+            for k, v in jax.device_get(d).items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+
+        if self.is_dataset_paired:
+            for batch in tqdm(self.dataloader, desc="Testing..."):
+                inputs, targets = batch
+                result = eval_fn(params, batch_stats, inputs, targets)
+
+                if self.eval_on_raw:
+                    accumulate(pre_loss_sums, result["pre_loss"])
+                    accumulate(pre_metric_sums, result["pre_metric"])
+                if self.eval_on_post and post_enabled:
+                    accumulate(post_loss_sums, result["post_loss"])
+                    accumulate(post_metric_sums, result["post_metric"])
+
+                if self.save_cfg.get("enabled", True) and (
+                    max_save is None or out_counter < max_save
+                ):
+                    if self.save_cfg.get("save_raw", False):
+                        self._save_batch_outputs(
+                            result["raw"], out_counter, self.save_cfg.get("raw_prefix", "raw_")
+                        )
+                    if self.save_cfg.get("save_postprocessed", True):
+                        self._save_batch_outputs(
+                            result["post"], out_counter, self.save_cfg.get("post_prefix", "output_")
+                        )
+
+                out_counter += int(inputs.shape[0])
+                n_batches += 1
+                if max_save is not None and out_counter >= max_save:
+                    break
+
+            denom = max(1, n_batches)
+            pre_loss_avg = {k: v / denom for k, v in pre_loss_sums.items()}
+            pre_met_avg = {k: v / denom for k, v in pre_metric_sums.items()}
+            post_loss_avg = {k: v / denom for k, v in post_loss_sums.items()}
+            post_met_avg = {k: v / denom for k, v in post_metric_sums.items()}
+
+            if self.eval_on_raw:
+                print("[PRE]  Losses -> " + ", ".join(f"{k}: {v:.4f}" for k, v in pre_loss_avg.items()))
+                if pre_met_avg:
+                    print("[PRE]  Metrics -> " + ", ".join(f"{k}: {v:.4f}" for k, v in pre_met_avg.items()))
+            if self.eval_on_post and post_enabled:
+                print("[POST] Losses -> " + ", ".join(f"{k}: {v:.4f}" for k, v in post_loss_avg.items()))
+                if post_met_avg:
+                    print("[POST] Metrics -> " + ", ".join(f"{k}: {v:.4f}" for k, v in post_met_avg.items()))
+
+            if self.logging_enabled and self.logger is not None:
+                if self.eval_on_raw:
+                    row = {"type": "test", "stage": "pre", "batches": int(n_batches)}
+                    row.update({f"loss_{k}": v for k, v in pre_loss_avg.items()})
+                    row.update({f"metric_{k}": v for k, v in pre_met_avg.items()})
+                    self.logger.log_test(row)
+                if self.eval_on_post and post_enabled:
+                    row = {"type": "test", "stage": "post", "batches": int(n_batches)}
+                    row.update({f"loss_{k}": v for k, v in post_loss_avg.items()})
+                    row.update({f"metric_{k}": v for k, v in post_met_avg.items()})
+                    self.logger.log_test(row)
+                self.logger.set_summary(
+                    {
+                        "best_train_loss": float(self.best_loss),
+                        "test_batches": int(n_batches),
+                        "post_processing_enabled": post_enabled,
+                    }
+                )
+        else:
+            for inputs in tqdm(self.dataloader, desc="Testing..."):
+                result = eval_fn(params, batch_stats, inputs, None)
+                if self.save_cfg.get("enabled", True) and (
+                    max_save is None or out_counter < max_save
+                ):
+                    if self.save_cfg.get("save_raw", False):
+                        self._save_batch_outputs(
+                            result["raw"], out_counter, self.save_cfg.get("raw_prefix", "raw_")
+                        )
+                    if self.save_cfg.get("save_postprocessed", True):
+                        self._save_batch_outputs(
+                            result["post"], out_counter, self.save_cfg.get("post_prefix", "output_")
+                        )
+                out_counter += int(inputs.shape[0])
+                n_batches += 1
+                if max_save is not None and out_counter >= max_save:
+                    break
+
+            if self.logging_enabled and self.logger is not None:
+                self.logger.log_test({"type": "test", "stage": "unpaired", "batches": int(n_batches)})
+                self.logger.set_summary(
+                    {
+                        "best_train_loss": float(self.best_loss),
+                        "test_batches": int(n_batches),
+                        "post_processing_enabled": post_enabled,
+                    }
+                )

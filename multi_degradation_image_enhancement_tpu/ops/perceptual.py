@@ -1,0 +1,212 @@
+"""Perceptual feature networks: VGG19 features (perceptual loss) and LPIPS.
+
+Capability parity targets in the reference:
+  * ``vgg_perceptual`` loss = MSE between frozen torchvision VGG19
+    ``features[:layers]`` activations (``utils/loss_factory.py:59-68,169-178``).
+  * ``lpips`` loss/metric = torchmetrics ``LearnedPerceptualImagePatchSimilarity``
+    with net_type "alex" by default (``utils/loss_factory.py:191-200``,
+    ``utils/metrics_factory.py:96-106``).  NOTE the reference feeds [0,1]
+    images to an LPIPS that expects [-1,1] (normalize=False); we preserve
+    that observable behavior — inputs are used as-is.
+
+Pretrained weights cannot be downloaded in this environment (zero egress).
+The modules therefore load converted weights from an ``.npz`` produced by
+``tools/convert_torch_weights.py`` when available (searched in
+``$MDIE_WEIGHTS_DIR``), and otherwise fall back to *seeded, frozen random
+features* with a one-time warning.  Random frozen conv features still yield
+a usable structural loss (random-projection Gram features) and keep every
+config runnable; swap in converted weights for exact perceptual parity.
+
+TPU notes: NHWC convs on the MXU; the whole feature stack runs inside the
+jitted loss, so perceptual terms add zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import os
+import warnings
+from functools import lru_cache
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from flax.core import freeze, unfreeze
+
+# torchvision vgg19.features layout: index -> (kind, out_channels)
+_VGG19_LAYOUT: Tuple[Tuple[str, int], ...] = (
+    ("conv", 64), ("relu", 0), ("conv", 64), ("relu", 0), ("pool", 0),
+    ("conv", 128), ("relu", 0), ("conv", 128), ("relu", 0), ("pool", 0),
+    ("conv", 256), ("relu", 0), ("conv", 256), ("relu", 0), ("conv", 256),
+    ("relu", 0), ("conv", 256), ("relu", 0), ("pool", 0),
+    ("conv", 512), ("relu", 0), ("conv", 512), ("relu", 0), ("conv", 512),
+    ("relu", 0), ("conv", 512), ("relu", 0), ("pool", 0),
+    ("conv", 512), ("relu", 0), ("conv", 512), ("relu", 0), ("conv", 512),
+    ("relu", 0), ("conv", 512), ("relu", 0), ("pool", 0),
+)
+
+
+class VGG19Features(nn.Module):
+    """The first ``num_layers`` ops of torchvision ``vgg19().features``.
+
+    Input NHWC.  Conv params are named ``conv_{i}`` by their torchvision
+    ``features`` index so converted weights map one-to-one.
+    """
+
+    num_layers: int = 20
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i, (kind, ch) in enumerate(_VGG19_LAYOUT[: self.num_layers]):
+            if kind == "conv":
+                x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv_{i}")(x)
+            elif kind == "relu":
+                x = nn.relu(x)
+            else:  # pool
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        return x
+
+
+class AlexNetFeatures(nn.Module):
+    """torchvision ``alexnet().features`` returning the five ReLU taps LPIPS uses."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+        taps = []
+        x = nn.Conv(64, (11, 11), strides=(4, 4), padding=((2, 2), (2, 2)),
+                    dtype=self.dtype, name="conv_0")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(192, (5, 5), padding=((2, 2), (2, 2)), dtype=self.dtype, name="conv_3")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        x = nn.Conv(384, (3, 3), padding="SAME", dtype=self.dtype, name="conv_6")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="conv_8")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        x = nn.Conv(256, (3, 3), padding="SAME", dtype=self.dtype, name="conv_10")(x)
+        x = nn.relu(x)
+        taps.append(x)
+        return tuple(taps)
+
+
+_LPIPS_ALEX_CHANNELS = (64, 192, 384, 256, 256)
+
+# LPIPS input normalization constants (shift/scale on [-1,1] inputs).
+_LPIPS_SHIFT = jnp.array([-0.030, -0.088, -0.188], jnp.float32)
+_LPIPS_SCALE = jnp.array([0.458, 0.448, 0.450], jnp.float32)
+
+
+class LPIPS(nn.Module):
+    """LPIPS distance with an AlexNet backbone (net_type="alex").
+
+    Per layer: channel-unit-normalize both feature maps, squared difference,
+    learned non-negative 1×1 "lin" weights, spatial mean; sum layers, mean
+    over batch.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        def prep(img):
+            return (img - _LPIPS_SHIFT) / _LPIPS_SCALE
+
+        net = AlexNetFeatures(dtype=self.dtype, name="net")
+        fx = net(prep(x))
+        fy = net(prep(y))
+
+        total = 0.0
+        for k, (ax, ay) in enumerate(zip(fx, fy)):
+            nx = ax / jnp.sqrt(jnp.sum(jnp.square(ax), axis=-1, keepdims=True) + 1e-10)
+            ny = ay / jnp.sqrt(jnp.sum(jnp.square(ay), axis=-1, keepdims=True) + 1e-10)
+            d = jnp.square(nx - ny)  # [B,h,w,C]
+            lin = self.param(
+                f"lin_{k}",
+                nn.initializers.uniform(scale=0.1),
+                (_LPIPS_ALEX_CHANNELS[k], 1),
+                jnp.float32,
+            )
+            d = d @ jnp.abs(lin)  # non-negative weighting, [B,h,w,1]
+            total = total + jnp.mean(d, axis=(1, 2, 3))  # [B]
+        return jnp.mean(total)
+
+
+# ---------------------------------------------------------------------------
+# Weight loading
+# ---------------------------------------------------------------------------
+
+
+def weights_dir() -> Optional[str]:
+    return os.environ.get("MDIE_WEIGHTS_DIR")
+
+
+def _load_npz_into(params: Dict[str, Any], npz: Dict[str, np.ndarray], prefix: str = "") -> int:
+    """Overwrite matching leaves of a Flax param dict from flat npz names.
+
+    npz keys use '/'-joined flax paths, e.g. ``net/conv_0/kernel``.
+    Returns the number of leaves replaced.
+    """
+    replaced = 0
+
+    def walk(node, path):
+        nonlocal replaced
+        for k, v in node.items():
+            p = f"{path}/{k}" if path else k
+            if isinstance(v, dict):
+                walk(v, p)
+            else:
+                key = prefix + p
+                if key in npz:
+                    arr = np.asarray(npz[key])
+                    if arr.shape != v.shape:
+                        raise ValueError(f"Shape mismatch for {key}: {arr.shape} vs {v.shape}")
+                    node[k] = jnp.asarray(arr, v.dtype)
+                    replaced += 1
+
+    walk(params, "")
+    return replaced
+
+
+@lru_cache(maxsize=4)
+def _warn_once(msg: str) -> None:
+    warnings.warn(msg, stacklevel=3)
+
+
+def init_frozen_params(
+    module: nn.Module,
+    example_args: Sequence[jax.Array],
+    npz_name: str,
+    seed: int = 42,
+) -> Any:
+    """Init a frozen feature module, loading converted weights when available.
+
+    Looks for ``$MDIE_WEIGHTS_DIR/<npz_name>``; otherwise returns the seeded
+    random init (deterministic) with a one-time warning.
+    """
+    variables = module.init(jax.random.key(seed), *example_args)
+    params = unfreeze(variables)["params"]
+
+    wdir = weights_dir()
+    path = os.path.join(wdir, npz_name) if wdir else None
+    if path and os.path.isfile(path):
+        npz = dict(np.load(path))
+        n = _load_npz_into(params, npz)
+        if n == 0:
+            raise ValueError(f"No matching weights found in {path}")
+    else:
+        _warn_once(
+            f"Pretrained weights '{npz_name}' not found"
+            f" (MDIE_WEIGHTS_DIR={wdir!r}); using seeded random frozen features."
+            " Run tools/convert_torch_weights.py where torchvision weights are"
+            " available for exact perceptual parity."
+        )
+    return freeze({"params": params})
