@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Headline benchmark: end-to-end degrade→restore throughput on one chip.
+
+Measures 256×256 images/sec/chip through the full on-device pipeline —
+synthetic degradation (``ops.degradations``) + CDAN restoration forward
+(bf16 on TPU) — against the ≥5,000 img/s/chip v5e north star in
+/root/repo/BASELINE.json (the PyTorch reference publishes no numbers;
+BASELINE.md).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/5000}
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_IMG_PER_SEC = 5000.0
+
+
+def build_pipeline(batch: int, size: int, dtype):
+    from multi_degradation_image_enhancement_tpu.models.cdan import CDAN
+    from multi_degradation_image_enhancement_tpu.ops.degradations import apply_degradation
+
+    model = CDAN(dtype=dtype)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, size, size, 3), jnp.float32), train=False
+    )
+
+    def step(clean255, key):
+        degraded = apply_degradation("noise", clean255, key) / 255.0
+        restored = model.apply(variables, degraded, train=False)
+        return restored
+
+    clean = (
+        jnp.abs(jnp.sin(jnp.arange(batch * size * size * 3, dtype=jnp.float32) * 0.001))
+        .reshape(batch, size, size, 3)
+        * 255.0
+    )
+    return jax.jit(step), clean
+
+
+def time_pipeline(batch: int, size: int, dtype, iters: int = 20) -> float:
+    step, clean = build_pipeline(batch, size, dtype)
+    key = jax.random.key(0)
+    # warmup / compile
+    step(clean, key).block_until_ready()
+    step(clean, jax.random.key(1)).block_until_ready()
+    t0 = time.perf_counter()
+    out = None
+    for i in range(iters):
+        out = step(clean, jax.random.fold_in(key, i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main() -> None:
+    on_tpu = jax.default_backend() != "cpu"
+    size = 256
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    if on_tpu:
+        candidates = [64, 128]
+        iters = 20
+    else:  # smoke mode on CPU
+        candidates = [2]
+        iters = 2
+        size = 64
+
+    best = 0.0
+    for batch in candidates:
+        try:
+            rate = time_pipeline(batch, size, dtype, iters)
+        except Exception as e:  # OOM etc. — try the next batch size
+            print(f"[bench] batch={batch} failed: {e}", file=sys.stderr)
+            continue
+        print(f"[bench] batch={batch}: {rate:.1f} img/s", file=sys.stderr)
+        best = max(best, rate)
+
+    print(
+        json.dumps(
+            {
+                "metric": "256px_images_per_sec_per_chip_degrade_restore",
+                "value": round(best, 1),
+                "unit": "img/s/chip",
+                "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

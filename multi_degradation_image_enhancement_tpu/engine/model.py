@@ -56,6 +56,36 @@ except Exception:  # pragma: no cover
         return x
 
 
+def make_train_step(network, loss_pipe):
+    """One SGD step as a pure function: forward + loss + backward + Adam + BN.
+
+    Shared by the engine and by sharded/multi-chip entry points: under
+    ``jit`` with a sharded batch and replicated params, XLA inserts the
+    gradient all-reduce (and makes BatchNorm effectively sync-BN, since batch
+    reductions span the global batch) — no hand-written collectives.
+    """
+
+    def step(state: TrainState, inputs, targets, dropout_key):
+        def loss_fn(params):
+            outputs, mutated = network.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                inputs,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": dropout_key},
+            )
+            loss_dict = loss_pipe(outputs, targets=targets, inputs=inputs, is_paired=True)
+            return loss_dict["total"], (loss_dict, mutated)
+
+        (_, (loss_dict, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads).replace(batch_stats=mutated["batch_stats"])
+        return new_state, loss_dict
+
+    return step
+
+
 def _mean_of_dicts(dicts: List[Dict[str, jax.Array]]) -> Dict[str, float]:
     """Average a list of device-scalar dicts; one host sync total."""
     if not dicts:
@@ -185,29 +215,16 @@ class Model(BaseModel):
         )
 
     def _build_train_step(self):
-        network = self.network
-        loss_pipe = self.loss_pipe
-
-        def step(state: TrainState, inputs, targets, dropout_key):
-            def loss_fn(params):
-                outputs, mutated = network.apply(
-                    {"params": params, "batch_stats": state.batch_stats},
-                    inputs,
-                    train=True,
-                    mutable=["batch_stats"],
-                    rngs={"dropout": dropout_key},
-                )
-                loss_dict = loss_pipe(outputs, targets=targets, inputs=inputs, is_paired=True)
-                return loss_dict["total"], (loss_dict, mutated)
-
-            (_, (loss_dict, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
+        step = make_train_step(self.network, self.loss_pipe)
+        mesh_cfg = (self.config.get("train", {}) or {}).get("mesh")
+        if mesh_cfg:
+            from multi_degradation_image_enhancement_tpu.parallel.mesh import (
+                create_mesh,
+                shard_train_step,
             )
-            new_state = state.apply_gradients(grads).replace(
-                batch_stats=mutated["batch_stats"]
-            )
-            return new_state, loss_dict
 
+            mesh = create_mesh(mesh_cfg)
+            return shard_train_step(step, mesh)
         return jax.jit(step, donate_argnums=(0,))
 
     def _build_eval_step(self):

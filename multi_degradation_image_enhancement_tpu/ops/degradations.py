@@ -122,7 +122,10 @@ def gaussian_blur(images: jax.Array, k_idx: jax.Array) -> jax.Array:
 
 
 def add_gaussian_noise(images: jax.Array, std: jax.Array, noise_key: jax.Array) -> jax.Array:
-    n = jax.random.normal(noise_key, images.shape, dtype=images.dtype)
+    if jnp.ndim(noise_key) == 1:  # per-sample keys (file-stable generation)
+        n = jax.vmap(lambda k: jax.random.normal(k, images.shape[1:], images.dtype))(noise_key)
+    else:
+        n = jax.random.normal(noise_key, images.shape, dtype=images.dtype)
     out = images + std[:, None, None, None] * n
     return quantize_u8(out, "floor")
 

@@ -1,0 +1,200 @@
+"""Classify → route → restore: the full pipeline as a first-class component.
+
+The reference only implies this flow — a multi-label classifier
+(``classification/``) plus one CDAN checkpoint per degradation
+(``CDAN_<task>.pt``); no routing script exists (SURVEY.md: "the routing…
+exists only implicitly").  Here it is explicit and TPU-native, expressed as
+a 9-expert routed model:
+
+  * all experts' parameters are stacked on a leading expert axis (one
+    pytree, [E, ...] leaves) — loading E weight files produced by the
+    training engine;
+  * **top1 mode**: each image routes to its argmax-probability degradation
+    via capacity-C one-hot dispatch/combine einsums (the classic MoE
+    dispatch pattern), and the expert bank runs as a single ``vmap`` over
+    the expert axis — every expert processes its bucket in one fused
+    program, no host round trips;
+  * **sequential mode**: experts whose probability clears the per-class
+    threshold run in severity order over the full batch with masked
+    updates — higher fidelity for multi-degradation images at E× compute;
+  * clean images (no class over threshold) pass through untouched;
+  * expert parallelism: place the stacked params with
+    ``expert_sharding(mesh)`` and the dispatched batch follows — XLA
+    partitions the vmapped bank over the ``expert`` mesh axis (EP), with
+    all-to-alls compiled from the dispatch/combine einsums.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multi_degradation_image_enhancement_tpu.ops.degradations import DEGRADATIONS
+
+EXPERT_AXIS = "expert"
+
+
+def stack_expert_variables(variable_list: Sequence[Dict[str, Any]]) -> Dict[str, Any]:
+    """Stack E per-expert {params, batch_stats} pytrees on a new leading axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *variable_list)
+
+
+def load_expert_bank(
+    network: Any,
+    weight_paths: Dict[str, str],
+    input_hw: Tuple[int, int] = (256, 384),
+) -> Tuple[List[str], Dict[str, Any]]:
+    """Load per-degradation weight files into a stacked expert bank.
+
+    ``weight_paths`` maps degradation name → engine weight file
+    (``model_path/model_name`` as written by ``engine.checkpoint``).
+    Returns (expert order, stacked variables).
+    """
+    from multi_degradation_image_enhancement_tpu.engine.checkpoint import load_weights
+
+    names = list(weight_paths.keys())
+    template = network.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, input_hw[0], input_hw[1], 3), jnp.float32),
+        train=False,
+    )
+    loaded = []
+    for name in names:
+        path = weight_paths[name]
+        if not os.path.isfile(path):
+            raise FileNotFoundError(f"Expert '{name}' weights not found: {path}")
+        w = load_weights(path, template["params"], template.get("batch_stats", {}))
+        loaded.append({"params": w["params"], "batch_stats": w["batch_stats"]})
+    return names, stack_expert_variables(loaded)
+
+
+class RoutedRestorer:
+    """A routed bank of per-degradation restorers behind one callable."""
+
+    def __init__(
+        self,
+        network: Any,
+        expert_names: Sequence[str],
+        stacked_variables: Dict[str, Any],
+        mode: str = "top1",
+        capacity_factor: float = 2.0,
+        mesh=None,
+    ):
+        if mode not in ("top1", "sequential"):
+            raise ValueError(f"Unknown routing mode: {mode}")
+        self.network = network
+        self.expert_names = list(expert_names)
+        self.mode = mode
+        self.capacity_factor = float(capacity_factor)
+        self.variables = stacked_variables
+        if mesh is not None and EXPERT_AXIS in mesh.axis_names:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sh = NamedSharding(mesh, P(EXPERT_AXIS))
+            self.variables = jax.tree.map(lambda x: jax.device_put(x, sh), self.variables)
+        self._restore = jax.jit(self._build(), static_argnames=())
+
+    # ------------------------------------------------------------------ #
+
+    def _apply_one(self, variables, images):
+        return self.network.apply(variables, images, train=False)
+
+    def _build(self) -> Callable:
+        n_experts = len(self.expert_names)
+        apply_bank = jax.vmap(self._apply_one)
+
+        if self.mode == "top1":
+
+            def restore(images: jax.Array, probs: jax.Array, thresholds: jax.Array):
+                b = images.shape[0]
+                capacity = max(1, int(np.ceil(b / n_experts * self.capacity_factor)))
+                expert_id = jnp.argmax(probs, axis=-1)  # [B]
+                active = jnp.any(probs >= thresholds, axis=-1)  # clean → passthrough
+
+                onehot = jax.nn.one_hot(expert_id, n_experts) * active[:, None]  # [B,E]
+                position = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot  # rank in bucket
+                keep = (position < capacity).astype(images.dtype) * onehot
+                # dispatch[B, E, C]
+                dispatch = keep[..., None] * jax.nn.one_hot(
+                    position.astype(jnp.int32), capacity
+                )
+                x_disp = jnp.einsum(
+                    "bec,bhwi->echwi", dispatch, images,
+                    preferred_element_type=jnp.float32,
+                )
+                y_disp = apply_bank(self.variables, x_disp)  # [E, C, H, W, 3]
+                routed = jnp.einsum(
+                    "bec,echwi->bhwi", dispatch, y_disp,
+                    preferred_element_type=jnp.float32,
+                )
+                routed_mask = jnp.sum(dispatch, axis=(1, 2)) > 0  # dropped/clean → identity
+                return jnp.where(routed_mask[:, None, None, None], routed, images)
+
+        else:  # sequential multi-degradation restoration
+
+            def restore(images: jax.Array, probs: jax.Array, thresholds: jax.Array):
+                out = images
+                for e in range(n_experts):
+                    mask = probs[:, e] >= thresholds[e]
+                    expert_vars = jax.tree.map(lambda x: x[e], self.variables)
+                    restored = self._apply_one(expert_vars, out)
+                    out = jnp.where(mask[:, None, None, None], restored, out)
+                return out
+
+        return restore
+
+    def __call__(self, images: jax.Array, probs: jax.Array, thresholds) -> jax.Array:
+        """Restore a batch given classifier probabilities.
+
+        Args:
+          images: [B,H,W,3] float32 in [0,1].
+          probs: [B,E] per-degradation probabilities (classifier sigmoids),
+            columns ordered like ``expert_names``.
+          thresholds: [E] per-class decision thresholds.
+        """
+        return self._restore(images, probs, jnp.asarray(thresholds, jnp.float32))
+
+
+class FullPipeline:
+    """Degraded image in → classified, routed, restored image out."""
+
+    def __init__(
+        self,
+        classifier_model,
+        classifier_variables: Dict[str, Any],
+        router: RoutedRestorer,
+        thresholds: Sequence[float],
+        classes: Optional[Sequence[str]] = None,
+        normalize: bool = True,
+    ):
+        self.router = router
+        self.thresholds = jnp.asarray(thresholds, jnp.float32)
+        classes = list(classes or DEGRADATIONS)
+        # column permutation from classifier class order → expert order
+        perm = [classes.index(n) for n in router.expert_names]
+
+        from multi_degradation_image_enhancement_tpu.classification.model import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+        )
+
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+
+        @jax.jit
+        def classify(images01: jax.Array) -> jax.Array:
+            x = (images01 - mean) / std if normalize else images01
+            cls_logits, _ = classifier_model.apply(classifier_variables, x, train=False)
+            return jax.nn.sigmoid(cls_logits)[:, jnp.asarray(perm)]
+
+        self._classify = classify
+        self._thr = self.thresholds[jnp.asarray(perm)] if classes else self.thresholds
+
+    def __call__(self, images01: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Returns (restored images, per-degradation probabilities)."""
+        probs = self._classify(images01)
+        return self.router(images01, probs, self._thr), probs

@@ -1,0 +1,162 @@
+"""Engine end-to-end through the real CLI entry (run.py main), TinyNet-sized."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from multi_degradation_image_enhancement_tpu.utils.config import load_config
+
+import run as run_cli
+
+
+def _tiny_config(tmp_path, n_epoch=2):
+    return {
+        "name": "tiny",
+        "task": "tiny",
+        "model": {
+            "which_model": {"name": ["models.model", "Model"], "args": {}},
+            "networks": [{"name": ["tests.tiny_net", "TinyNet"], "args": {}}],
+        },
+        "loss": {"enabled": True, "terms": [
+            {"name": "charbonnier", "weight": 1.0, "args": {"eps": 1e-3}},
+            {"name": "ssim", "weight": 0.5},
+        ]},
+        "metrics": {"enabled": True, "items": [{"name": "psnr"}, {"name": "ssim"}]},
+        "evaluation": {"raw": True, "postprocessed": True},
+        "post_processing": {"enabled": True, "ops": [
+            {"name": "soft_denoise", "args": {"sigma": 0.2}},
+        ]},
+        "save_outputs": {
+            "enabled": True,
+            "output_dir": str(tmp_path / "outputs") + "/",
+            "max_images": 3,
+            "format": "png",
+            "save_raw": True,
+            "save_postprocessed": True,
+            "raw_prefix": "raw_",
+            "post_prefix": "pp_",
+        },
+        "logging": {
+            "enabled": True,
+            "root_dir": str(tmp_path / "runs"),
+            "save_config_copy": True,
+            "train": {"log_every_n_batches": 1, "save_csv": True, "save_jsonl": True},
+            "test": {"save_csv": True, "save_jsonl": True},
+            "checkpoints": {"enabled": True, "every_n_epochs": 1},
+        },
+        "train": {
+            "device": "cpu",
+            "n_epoch": n_epoch,
+            "lr": 1e-3,
+            "precision": "fp32",
+            "dataset": {
+                "name": ["data.synthetic", "SyntheticPairedDataset"],
+                "args": {
+                    "degradation": "low_light",
+                    "n_images": 6,
+                    "transform": {"backend": "albumentations", "ops": [
+                        {"name": "Resize", "args": {"height": 16, "width": 24}},
+                        {"name": "Normalize", "args": {"mean": [0, 0, 0], "std": [1, 1, 1]}},
+                        {"name": "ToTensorV2", "args": {}},
+                    ]},
+                },
+            },
+            "dataloader": {"args": {"batch_size": 2, "shuffle": True, "num_workers": 0}},
+            "model_path": str(tmp_path / "weights") + "/",
+            "model_name": "tiny.pt",
+        },
+        "test": {
+            "device": "cpu",
+            "dataset": {
+                "name": ["data.synthetic", "SyntheticPairedDataset"],
+                "args": {
+                    "degradation": "low_light",
+                    "n_images": 4,
+                    "seed": 99,
+                    "transform": {"backend": "albumentations", "ops": [
+                        {"name": "Resize", "args": {"height": 16, "width": 24}},
+                        {"name": "Normalize", "args": {"mean": [0, 0, 0], "std": [1, 1, 1]}},
+                        {"name": "ToTensorV2", "args": {}},
+                    ]},
+                },
+                "is_paired": True,
+            },
+            "dataloader": {"args": {"batch_size": 2, "shuffle": False, "num_workers": 0}},
+            "model_path": str(tmp_path / "weights") + "/",
+            "model_name": "tiny.pt",
+            "output_images_path": str(tmp_path / "outputs") + "/",
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("engine")
+    cfg_path = tmp_path / "tiny.json"
+    cfg_path.write_text(json.dumps(_tiny_config(tmp_path)))
+    cfg = load_config(str(cfg_path), phase="train")
+    run_cli.main(cfg)
+    return tmp_path, cfg_path
+
+
+def test_train_writes_weights_and_logs(trained):
+    tmp_path, _ = trained
+    assert os.path.isfile(tmp_path / "weights" / "tiny.pt")
+    runs = list((tmp_path / "runs" / "tiny").iterdir())
+    assert len(runs) == 1
+    run_dir = runs[0]
+    for artifact in ["train.csv", "train.jsonl", "summary.json", "config.json", "best.pt"]:
+        assert (run_dir / artifact).exists(), artifact
+    # epoch rows + batch rows
+    lines = (run_dir / "train.jsonl").read_text().strip().splitlines()
+    rows = [json.loads(l) for l in lines]
+    assert any(r["type"] == "epoch" for r in rows)
+    assert any(r["type"] == "batch" for r in rows)
+    epoch_rows = [r for r in rows if r["type"] == "epoch"]
+    assert len(epoch_rows) == 2
+    assert all("loss_total" in r and "epoch_time_sec" in r for r in epoch_rows)
+    # periodic checkpoints (every_n_epochs=1)
+    assert (run_dir / "checkpoints" / "epoch_001.pt").exists()
+    assert (run_dir / "checkpoints" / "state_001").exists()  # full-state resume ckpt
+    summary = json.loads((run_dir / "summary.json").read_text())
+    assert summary["epochs_completed"] == 2
+    # loss plots
+    assert (run_dir / "plots" / "loss_total.png").exists()
+
+
+def test_test_phase_pre_post_and_outputs(trained, capsys):
+    tmp_path, cfg_path = trained
+    cfg = load_config(str(cfg_path), phase="test")
+    run_cli.main(cfg)
+    out = capsys.readouterr().out
+    assert "[PRE]" in out and "[POST]" in out
+    outputs = sorted(os.listdir(tmp_path / "outputs"))
+    assert any(f.startswith("raw_") for f in outputs)
+    assert any(f.startswith("pp_") for f in outputs)
+    # max_images=3 with batch 2 → stops after 2 batches (4 images saved)
+    assert sum(f.startswith("raw_") for f in outputs) == 4
+    runs = sorted((tmp_path / "runs" / "tiny").iterdir())
+    test_rows = [
+        json.loads(l)
+        for l in (runs[-1] / "test.jsonl").read_text().strip().splitlines()
+    ]
+    stages = {r["stage"] for r in test_rows}
+    assert stages == {"pre", "post"}
+    pre = next(r for r in test_rows if r["stage"] == "pre")
+    assert "metric_psnr" in pre and np.isfinite(pre["metric_psnr"])
+
+
+def test_resume_from_full_state(trained, tmp_path):
+    tmp_src, cfg_path = trained
+    runs = sorted((tmp_src / "runs" / "tiny").iterdir())
+    state_dir = runs[0] / "checkpoints" / "state_002"
+    assert state_dir.exists()
+    cfg_dict = _tiny_config(tmp_path, n_epoch=1)
+    cfg_dict["train"]["resume"] = str(state_dir)
+    cfg_path2 = tmp_path / "resume.json"
+    cfg_path2.write_text(json.dumps(cfg_dict))
+    cfg = load_config(str(cfg_path2), phase="train")
+    run_cli.main(cfg)  # must restore opt state (step > 0) and not crash
+    assert os.path.isfile(tmp_path / "weights" / "tiny.pt")

@@ -1,0 +1,137 @@
+"""Loss/metric factories vs torch oracles + pipeline semantics."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from multi_degradation_image_enhancement_tpu.ops.losses import build_loss_pipeline
+from multi_degradation_image_enhancement_tpu.ops.metrics import build_metrics_pipeline
+from multi_degradation_image_enhancement_tpu.ops.ssim import psnr, ssim
+
+
+@pytest.fixture(scope="module")
+def xy():
+    rng = np.random.RandomState(1)
+    x = rng.rand(2, 32, 48, 3).astype(np.float32)
+    y = rng.rand(2, 32, 48, 3).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_basic_terms_match_torch(xy):
+    torch = pytest.importorskip("torch")
+    xj, yj = xy
+    xt = torch.from_numpy(np.asarray(xj).transpose(0, 3, 1, 2))
+    yt = torch.from_numpy(np.asarray(yj).transpose(0, 3, 1, 2))
+    pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [
+            {"name": "mse", "weight": 1.0},
+            {"name": "l1", "weight": 2.0},
+            {"name": "charbonnier", "weight": 1.0, "args": {"eps": 1e-3}},
+        ]}
+    )
+    res = pipe(xj, targets=yj)
+    assert abs(float(res["mse"]) - float(torch.nn.functional.mse_loss(xt, yt))) < 1e-6
+    assert abs(float(res["l1"]) - float(torch.nn.functional.l1_loss(xt, yt))) < 1e-6
+    d = xt - yt
+    charb = float(torch.mean(torch.sqrt(d * d + 1e-6)))
+    assert abs(float(res["charbonnier"]) - charb) < 1e-6
+    expected_total = float(res["mse"]) + 2.0 * float(res["l1"]) + float(res["charbonnier"])
+    assert abs(float(res["total"]) - expected_total) < 1e-5
+
+
+def test_gradient_l1_matches_torch_sobel(xy):
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    xj, yj = xy
+    xt = torch.from_numpy(np.asarray(xj).transpose(0, 3, 1, 2))
+    yt = torch.from_numpy(np.asarray(yj).transpose(0, 3, 1, 2))
+
+    kx = torch.tensor([[-1.0, 0, 1], [-2, 0, 2], [-1, 0, 1]])
+    ky = torch.tensor([[-1.0, -2, -1], [0, 0, 0], [1, 2, 1]])
+    K = torch.stack([kx, ky], 0).unsqueeze(1)
+
+    def grads(t):
+        b, c, h, w = t.shape
+        return F.conv2d(t.reshape(b * c, 1, h, w), K, padding=1)
+
+    pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [{"name": "gradient_l1", "weight": 1.0, "args": {"to_gray": False}}]}
+    )
+    res = pipe(xj, targets=yj)
+    ref = float(torch.mean(torch.abs(grads(xt) - grads(yt))))
+    assert abs(float(res["gradient_l1"]) - ref) < 1e-5
+
+
+def test_mode_filtering(xy):
+    xj, yj = xy
+    pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [
+            {"name": "mse", "weight": 1.0, "mode": "paired"},
+            {"name": "l1", "weight": 1.0, "mode": "unpaired"},
+        ]}
+    )
+    paired = pipe(xj, targets=yj, is_paired=True)
+    assert "mse" in paired and "l1" not in paired
+    unpaired = pipe(xj, targets=yj, is_paired=False)
+    assert "l1" in unpaired and "mse" not in unpaired
+
+
+def test_default_fallback_is_mse(xy):
+    xj, yj = xy
+    pipe = build_loss_pipeline(None)
+    res = pipe(xj, targets=yj)
+    assert set(res) == {"mse", "total"}
+
+
+def test_unknown_loss_raises():
+    with pytest.raises(ValueError):
+        build_loss_pipeline({"enabled": True, "terms": [{"name": "zorp"}]})
+
+
+def test_ssim_properties(xy):
+    xj, yj = xy
+    assert float(ssim(xj, xj)) == pytest.approx(1.0, abs=1e-5)
+    assert float(ssim(xj, yj)) < 0.2  # random images are structurally unrelated
+    noisy = jnp.clip(xj + 0.05 * jax.random.normal(jax.random.key(0), xj.shape), 0, 1)
+    less_noisy = jnp.clip(xj + 0.01 * jax.random.normal(jax.random.key(0), xj.shape), 0, 1)
+    assert float(ssim(less_noisy, xj)) > float(ssim(noisy, xj))
+
+
+def test_psnr_known_value(xy):
+    xj, _ = xy
+    shifted = xj + 0.1  # uniform shift, unclipped: mse = 0.01 exactly
+    assert float(psnr(xj, shifted, data_range=1.0)) == pytest.approx(20.0, abs=1e-3)
+
+
+def test_metrics_pipeline_schema(xy):
+    xj, yj = xy
+    pipe = build_metrics_pipeline(
+        {"enabled": True, "items": [{"name": "psnr"}, {"name": "ssim"}]}
+    )
+    out = pipe(xj, targets=yj)
+    assert set(out) == {"psnr", "ssim"}
+    disabled = build_metrics_pipeline({"enabled": False})
+    assert disabled(xj, targets=yj) == {}
+    with pytest.raises(ValueError):
+        build_metrics_pipeline({"enabled": True, "items": [{"name": "zorp"}]})
+
+
+def test_vgg_and_lpips_terms_run(xy):
+    """Without converted weights these use seeded random frozen features —
+    they must still be finite, deterministic, and zero at identity."""
+    xj, yj = xy
+    pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [
+            {"name": "vgg_perceptual", "weight": 1.0, "args": {"layers": 9}},
+            {"name": "lpips", "weight": 1.0},
+        ]}
+    )
+    res = pipe(xj, targets=yj)
+    assert np.isfinite(float(res["total"]))
+    res_same = pipe(xj, targets=xj)
+    assert float(res_same["vgg_perceptual"]) == pytest.approx(0.0, abs=1e-8)
+    assert float(res_same["lpips"]) == pytest.approx(0.0, abs=1e-6)
+    res2 = pipe(xj, targets=yj)
+    assert float(res2["total"]) == pytest.approx(float(res["total"]), rel=1e-6)

@@ -1,0 +1,105 @@
+"""Mesh + sharding over 8 virtual CPU devices (the fake multi-chip harness)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from multi_degradation_image_enhancement_tpu.engine.model import make_train_step
+from multi_degradation_image_enhancement_tpu.engine.state import TrainState
+from multi_degradation_image_enhancement_tpu.ops.losses import build_loss_pipeline
+from multi_degradation_image_enhancement_tpu.parallel import mesh as pmesh
+
+from tests.tiny_net import TinyNet
+
+needs_8 = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+def test_create_mesh_shapes():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    m = pmesh.create_mesh({"data": -1})
+    assert m.shape["data"] == 8
+    m2 = pmesh.create_mesh({"data": 4, "spatial": 2})
+    assert dict(m2.shape) == {"data": 4, "spatial": 2}
+    with pytest.raises(ValueError):
+        pmesh.create_mesh({"data": 3})
+    with pytest.raises(ValueError):
+        pmesh.create_mesh({"data": -1, "spatial": -1})
+
+
+def _make_state(model, h, w, tx=None):
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, h, w, 3)),
+        train=True,
+    )
+    return TrainState.create(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx if tx is not None else optax.adam(1e-3),
+    )
+
+
+@needs_8
+def test_data_parallel_step_matches_single_device():
+    """One DP step over the mesh must equal the same step on one device."""
+    model = TinyNet()
+    loss_pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [{"name": "mse", "weight": 1.0}]}
+    )
+    step = make_train_step(model, loss_pipe)
+
+    rng = np.random.RandomState(0)
+    inputs = jnp.asarray(rng.rand(8, 16, 24, 3), jnp.float32)
+    targets = jnp.asarray(rng.rand(8, 16, 24, 3), jnp.float32)
+    key = jax.random.key(0)
+
+    # SGD so the param delta is exactly the gradient (Adam's first step is
+    # ~sign(grad) and amplifies fp32 reduction-order noise near zero grads).
+    tx = optax.sgd(0.1)
+
+    # single device
+    state1 = _make_state(model, 16, 24, tx)
+    new1, loss1 = jax.jit(step)(state1, inputs, targets, key)
+
+    # 8-way data parallel
+    m = pmesh.create_mesh({"data": 8})
+    state8 = pmesh.replicate(_make_state(model, 16, 24, tx), m)
+    sharded_step = pmesh.shard_train_step(step, m)
+    inp8, tgt8 = pmesh.shard_batch((inputs, targets), m)
+    new8, loss8 = sharded_step(state8, inp8, tgt8, key)
+
+    assert float(loss8["total"]) == pytest.approx(float(loss1["total"]), rel=1e-5)
+    p1 = jax.tree.leaves(new1.params)
+    p8 = jax.tree.leaves(jax.device_get(new8.params))
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+@needs_8
+def test_data_spatial_mesh_compiles_and_runs():
+    model = TinyNet()
+    loss_pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [{"name": "charbonnier", "weight": 1.0, "args": {"eps": 1e-3}}]}
+    )
+    step = make_train_step(model, loss_pipe)
+    m = pmesh.create_mesh({"data": 4, "spatial": 2})
+    state = pmesh.replicate(_make_state(model, 32, 24), m)
+    rng = np.random.RandomState(1)
+    inputs = jnp.asarray(rng.rand(4, 32, 24, 3), jnp.float32)
+    targets = jnp.asarray(rng.rand(4, 32, 24, 3), jnp.float32)
+    inp, tgt = pmesh.shard_batch((inputs, targets), m)
+    # H=32 shards 16 per device over 'spatial'; conv halos are XLA's job
+    new_state, loss = pmesh.shard_train_step(step, m)(state, inp, tgt, jax.random.key(2))
+    assert np.isfinite(float(loss["total"]))
+    assert int(jax.device_get(new_state.step)) == 1
+
+
+@needs_8
+@pytest.mark.slow  # full CDAN compile — minutes on the 1-core CPU host
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as graft
+
+    graft.dryrun_multichip(8)
