@@ -1,0 +1,85 @@
+"""Routed expert restorer: dispatch semantics + expert sharding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_degradation_image_enhancement_tpu.pipeline import (
+    RoutedRestorer,
+    stack_expert_variables,
+)
+from tests.tiny_net import TinyNet
+
+
+@pytest.fixture(scope="module")
+def bank():
+    net = TinyNet()
+    x = jnp.zeros((1, 16, 24, 3), jnp.float32)
+    variables = [net.init({"params": jax.random.key(i)}, x, train=False) for i in range(3)]
+    return net, ["noise", "blur", "low_light"], stack_expert_variables(variables)
+
+
+def test_top1_routes_to_argmax_expert(bank):
+    net, names, stacked = bank
+    x = jnp.asarray(np.random.RandomState(0).rand(6, 16, 24, 3), jnp.float32)
+    probs = jnp.asarray(
+        [[0.9, 0.1, 0.1], [0.1, 0.8, 0.2], [0.0, 0.1, 0.7]] * 2, jnp.float32
+    )
+    router = RoutedRestorer(net, names, stacked, mode="top1")
+    out = router(x, probs, [0.5, 0.5, 0.5])
+    for i in range(6):
+        e = int(jnp.argmax(probs[i]))
+        direct = net.apply(jax.tree.map(lambda v: v[e], stacked), x[i : i + 1], train=False)
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(direct[0]), atol=1e-5)
+
+
+def test_clean_images_pass_through(bank):
+    net, names, stacked = bank
+    x = jnp.asarray(np.random.RandomState(1).rand(4, 16, 24, 3), jnp.float32)
+    router = RoutedRestorer(net, names, stacked, mode="top1")
+    out = router(x, jnp.full((4, 3), 0.1), [0.5, 0.5, 0.5])
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+
+def test_sequential_mode_applies_in_order(bank):
+    net, names, stacked = bank
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 16, 24, 3), jnp.float32)
+    router = RoutedRestorer(net, names, stacked, mode="sequential")
+    probs = jnp.asarray([[0.9, 0.9, 0.0], [0.0, 0.0, 0.0]], jnp.float32)
+    out = router(x, probs, [0.5, 0.5, 0.5])
+    # sample 0: expert0 then expert1 applied in order
+    step0 = net.apply(jax.tree.map(lambda v: v[0], stacked), x[:1], train=False)
+    step1 = net.apply(jax.tree.map(lambda v: v[1], stacked), step0, train=False)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(step1[0]), atol=1e-5)
+    # sample 1: untouched
+    np.testing.assert_array_equal(np.asarray(out[1]), np.asarray(x[1]))
+
+
+def test_invalid_mode_raises(bank):
+    net, names, stacked = bank
+    with pytest.raises(ValueError):
+        RoutedRestorer(net, names, stacked, mode="bogus")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_expert_parallel_sharding(bank):
+    """Expert bank sharded over an 'expert' mesh axis still routes correctly."""
+    from multi_degradation_image_enhancement_tpu.parallel.mesh import create_mesh
+
+    net = TinyNet()
+    x = jnp.zeros((1, 16, 24, 3), jnp.float32)
+    variables = [net.init({"params": jax.random.key(i)}, x, train=False) for i in range(4)]
+    stacked = stack_expert_variables(variables)
+    mesh = create_mesh({"expert": 4, "data": 2})
+    names = ["a", "b", "c", "d"]
+    router = RoutedRestorer(net, names, stacked, mode="top1", mesh=mesh)
+    xb = jnp.asarray(np.random.RandomState(3).rand(8, 16, 24, 3), jnp.float32)
+    probs = jax.nn.one_hot(jnp.arange(8) % 4, 4)
+    out = router(xb, probs, [0.5] * 4)
+    for i in range(8):
+        e = i % 4
+        direct = net.apply(
+            jax.tree.map(lambda v: v[e], stacked), xb[i : i + 1], train=False
+        )
+        np.testing.assert_allclose(np.asarray(out[i]), np.asarray(direct[0]), atol=1e-4)
