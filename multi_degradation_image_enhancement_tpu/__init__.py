@@ -18,6 +18,21 @@ danielluca00/Multi-Degradation-Image-Enhancement (see /root/repo/SURVEY.md):
 Import as ``import multi_degradation_image_enhancement_tpu as mdie``.
 """
 
+import os as _os
+
 from multi_degradation_image_enhancement_tpu.version import __version__
+
+# Persistent XLA compilation cache: TPU compiles in this environment go
+# through a remote-compile tunnel (minutes for the full model), so caching
+# across processes matters.  Respect an explicit user setting.
+if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+    try:
+        import jax as _jax
+
+        _cache = _os.path.expanduser("~/.jax_cache")
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+    except Exception:
+        pass
 
 __all__ = ["__version__"]

@@ -39,11 +39,18 @@ def _stem(filename: str) -> str:
 def _load_rgb(path: str, target_hw: Optional[Tuple[int, int]]) -> np.ndarray:
     """Decode to uint8 RGB [H,W,3]; resize on host only if sizes are ragged.
 
-    The device transform chain re-runs its configured Resize, so this host
-    resize only serves to make raggedly-sized inputs batchable (bilinear, the
-    same family as the device op).  Standard generator outputs are already at
-    target size and skip it.
+    Uses the native C++ decoder (``data.io_native`` → native/mdie_io.cpp)
+    when available, PIL otherwise.  The device transform chain re-runs its
+    configured Resize, so this host resize only serves to make
+    raggedly-sized inputs batchable; standard generator outputs are already
+    at target size and skip it.
     """
+    if target_hw is not None:
+        from multi_degradation_image_enhancement_tpu.data import io_native
+
+        native = io_native.decode_image(path, target_hw[0], target_hw[1])
+        if native is not None:
+            return native
     img = Image.open(path).convert("RGB")
     if target_hw is not None and (img.height, img.width) != target_hw:
         img = img.resize((target_hw[1], target_hw[0]), Image.BILINEAR)

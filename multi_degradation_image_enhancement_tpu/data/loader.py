@@ -85,6 +85,33 @@ class DeviceDataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _host_batch(self, indices: np.ndarray) -> np.ndarray:
+        # Fast path: decode the whole batch through the native C++ engine
+        # (one call, threaded, straight into the batch buffer).
+        hw = getattr(self.dataset.transform, "target_hw", None)
+        if hw is not None:
+            from multi_degradation_image_enhancement_tpu.data import io_native
+
+            if io_native.available():
+                if self._mode == "paired":
+                    pairs = [self.dataset.pairs[i] for i in indices]
+                    paths = [p[0] for p in pairs] + [p[1] for p in pairs]
+                    flat = io_native.decode_batch(
+                        paths, hw[0], hw[1], n_threads=self._pool._max_workers
+                    )
+                    if flat is not None:
+                        b = len(pairs)
+                        return np.stack([flat[:b], flat[b:]])  # [2,B,H,W,3]
+                elif (
+                    self._mode in ("single", "degrade")
+                    and getattr(self.dataset, "files", None) is not None
+                ):
+                    paths = [self.dataset.files[i] for i in indices]
+                    flat = io_native.decode_batch(
+                        paths, hw[0], hw[1], n_threads=self._pool._max_workers
+                    )
+                    if flat is not None:
+                        return flat
+
         if self._mode == "paired":
             pairs = list(self._pool.map(self.dataset.load_pair, indices))
             inp = np.stack([p[0] for p in pairs])

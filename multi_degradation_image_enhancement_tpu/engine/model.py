@@ -194,6 +194,12 @@ class Model(BaseModel):
         self.seed = int((cfg.get("train", {}) or {}).get("seed", 42) or 42)
         self.best_loss = float("inf")
 
+        # ---- profiling (jax.profiler trace; SURVEY §5 "tracing: none" gap) ----
+        prof_cfg = log_cfg.get("profiler", {}) or {}
+        self.profile_epochs = set(prof_cfg.get("trace_epochs", []) or []) if bool(
+            prof_cfg.get("enabled", False)
+        ) else set()
+
         self.state: Optional[TrainState] = None
         self._jit_train_step = None
         self._jit_eval_step = None
@@ -264,6 +270,14 @@ class Model(BaseModel):
         for epoch in range(self.epoch):
             t0 = time.time()
             batch_dicts: List[Dict[str, jax.Array]] = []
+            n_images = 0
+
+            trace_ctx = None
+            if (epoch + 1) in self.profile_epochs and self.logger and self.logger.run_dir():
+                trace_dir = os.path.join(self.logger.run_dir(), "profile")
+                trace_ctx = jax.profiler.trace(trace_dir)
+                trace_ctx.__enter__()
+                print(f"[PROFILER] tracing epoch {epoch+1} -> {trace_dir}")
 
             iterator = tqdm(
                 enumerate(self.dataloader),
@@ -282,6 +296,7 @@ class Model(BaseModel):
                 dropout_key = jax.random.fold_in(root_key, epoch * 100003 + step_i)
                 self.state, loss_dict = train_fn(self.state, inputs, targets, dropout_key)
                 batch_dicts.append(loss_dict)
+                n_images += int(inputs.shape[0])
 
                 if (
                     self.logging_enabled
@@ -294,8 +309,12 @@ class Model(BaseModel):
                         row[f"loss_{k}"] = float(v)
                     self.logger.log_train(row)
 
+            if trace_ctx is not None:
+                trace_ctx.__exit__(None, None, None)
+
             avg_comps = _mean_of_dicts(batch_dicts)
             epoch_loss = avg_comps.get("total", float("nan"))
+            epoch_time = time.time() - t0
 
             # ---- best checkpoint (train-loss policy, reference parity) ----
             if epoch_loss < self.best_loss:
@@ -307,7 +326,8 @@ class Model(BaseModel):
                 row = {
                     "type": "epoch",
                     "epoch": epoch + 1,
-                    "epoch_time_sec": float(time.time() - t0),
+                    "epoch_time_sec": float(epoch_time),
+                    "images_per_sec": float(n_images / max(epoch_time, 1e-9)),
                     "lr": float(self.lr),
                     "best_loss_so_far": float(self.best_loss),
                 }
