@@ -46,16 +46,25 @@ def build_pipeline(batch: int, size: int, dtype):
 
 
 def time_pipeline(batch: int, size: int, dtype, iters: int = 20) -> float:
+    """Throughput with forced execution.
+
+    ``block_until_ready`` is unreliable on the axon-tunneled TPU backend
+    (it returns before execution completes, yielding impossible numbers);
+    instead every iteration's output feeds a device-side accumulator and the
+    timer closes over a host readback of the final scalar, so no step can be
+    elided or outrun the clock.
+    """
     step, clean = build_pipeline(batch, size, dtype)
+    reduce_mean = jax.jit(lambda acc, out: acc + jnp.mean(out))
     key = jax.random.key(0)
-    # warmup / compile
-    step(clean, key).block_until_ready()
-    step(clean, jax.random.key(1)).block_until_ready()
+    # warmup / compile (forced via readback)
+    acc = reduce_mean(jnp.zeros(()), step(clean, key))
+    float(acc)
     t0 = time.perf_counter()
-    out = None
+    acc = jnp.zeros(())
     for i in range(iters):
-        out = step(clean, jax.random.fold_in(key, i))
-    out.block_until_ready()
+        acc = reduce_mean(acc, step(clean, jax.random.fold_in(key, i)))
+    float(acc)  # forces completion of every chained step
     dt = time.perf_counter() - t0
     return batch * iters / dt
 
