@@ -69,10 +69,11 @@ class DenseBlock(nn.Module):
     on the channel-concat of all previous features, then a BN→ReLU→1×1
     transition conv to ``features`` channels.
 
-    The growth convs use the tap-packed formulation (``ops.fast_conv``) —
-    XLA's native conv collapses to ~3.5% MXU utilization at 16 output
-    channels, the framework's measured CDAN hot spot.  Parameter trees are
-    identical to plain ``nn.Conv``, so checkpoints are unaffected.
+    The 16-output growth convs are the model's hot spot on TPU; a tap-packed
+    matmul reformulation (``ops.fast_conv``) was evaluated and *rejected* —
+    its [B·H·W, 9F] intermediate costs gigabytes of padded HBM traffic at
+    full resolution (honest timing: final DB @256² 137 ms tap-packed).  The
+    dedicated Pallas fused kernel is the planned fast path.
     """
 
     features: int
@@ -82,16 +83,14 @@ class DenseBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        from multi_degradation_image_enhancement_tpu.ops.fast_conv import Conv3x3TapPacked
-
         feats = x
         for i in range(self.num_layers):
             h = nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, dtype=self.dtype, name=f"bn_{i}"
             )(feats)
             h = nn.relu(h)
-            h = Conv3x3TapPacked(
-                self.growth_rate, dtype=self.dtype, name=f"conv_{i}"
+            h = nn.Conv(
+                self.growth_rate, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv_{i}"
             )(h)
             # Concatenation on the channel (lane) axis — cheap on TPU, and the
             # next conv consumes it directly from VMEM.

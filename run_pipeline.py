@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Full-pipeline CLI: classify degradations → route → restore a directory of images.
+
+The end-to-end flow the reference only implies (classifier checkpoint + one
+CDAN weight file per degradation; SURVEY.md: routing "exists only
+implicitly") — here it's one command:
+
+  python run_pipeline.py --images degraded/ --out restored/ \
+      --classifier runs_classifier/run_*/best_model.msgpack \
+      --weights-dir weights/ [--mode top1|sequential] [--batch 16]
+
+``--weights-dir`` holds the engine weight files named ``CDAN_<task>.pt``
+(as written by training each task config, or ported from the reference via
+``tools/port_cdan_checkpoint.py``).  Missing experts are skipped with a
+warning — images routed to them pass through unrestored.
+
+Thresholds default to the classifier run's tuned ``thresholds_val.json``
+next to the checkpoint when present, else 0.5.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True, help="directory of degraded images")
+    ap.add_argument("--out", required=True, help="output directory for restored PNGs")
+    ap.add_argument("--classifier", required=True, help="classifier best_model.msgpack")
+    ap.add_argument("--weights-dir", required=True, help="dir with CDAN_<task>.pt files")
+    ap.add_argument("--mode", choices=["top1", "sequential"], default="top1")
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--input-hw", type=int, nargs=2, default=[256, 384])
+    ap.add_argument("--save-probs", action="store_true", help="write probs.jsonl")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from multi_degradation_image_enhancement_tpu.classification.model import (
+        MultiHeadClassifier,
+    )
+    from multi_degradation_image_enhancement_tpu.classification.train import load_checkpoint
+    from multi_degradation_image_enhancement_tpu.data.dataset import _list_images, _load_rgb
+    from multi_degradation_image_enhancement_tpu.models.cdan import CDAN
+    from multi_degradation_image_enhancement_tpu.ops.degradations import DEGRADATIONS
+    from multi_degradation_image_enhancement_tpu.pipeline import (
+        FullPipeline,
+        RoutedRestorer,
+        load_expert_bank,
+    )
+
+    hw = tuple(args.input_hw)
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+    # ---- classifier ----
+    meta_path = args.classifier + ".json"
+    classes = list(DEGRADATIONS)
+    if os.path.exists(meta_path):
+        with open(meta_path, encoding="utf-8") as f:
+            classes = json.load(f).get("classes", classes)
+    clf = MultiHeadClassifier(num_classes=len(classes), dtype=dtype)
+    template = clf.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, hw[0], hw[1], 3), jnp.float32), train=False
+    )
+    host_template = {
+        "params": jax.tree.map(np.asarray, template["params"]),
+        "batch_stats": jax.tree.map(np.asarray, template["batch_stats"]),
+    }
+    clf_vars = load_checkpoint(args.classifier, host_template)
+
+    thresholds = [0.5] * len(classes)
+    thr_path = os.path.join(os.path.dirname(args.classifier), "thresholds_val.json")
+    if os.path.exists(thr_path):
+        with open(thr_path, encoding="utf-8") as f:
+            report = json.load(f)
+        thresholds = [report["thresholds"].get(c, 0.5) for c in classes]
+        print(f"[pipeline] tuned thresholds from {thr_path}")
+
+    # ---- expert bank ----
+    weight_paths = {}
+    for name in DEGRADATIONS:
+        p = os.path.join(args.weights_dir, f"CDAN_{name}.pt")
+        if os.path.isfile(p):
+            weight_paths[name] = p
+        else:
+            print(f"[pipeline] WARNING: no weights for '{name}' ({p}); passthrough")
+    if not weight_paths:
+        raise FileNotFoundError(f"No CDAN_<task>.pt files in {args.weights_dir}")
+
+    network = CDAN(dtype=dtype)
+    expert_names, stacked = load_expert_bank(network, weight_paths, hw)
+    router = RoutedRestorer(network, expert_names, stacked, mode=args.mode)
+    pipeline = FullPipeline(clf, clf_vars, router, thresholds, classes=classes)
+
+    # ---- run over the directory ----
+    files = _list_images(args.images)
+    if not files:
+        raise RuntimeError(f"No images in {args.images}")
+    os.makedirs(args.out, exist_ok=True)
+    probs_log = []
+
+    for i in range(0, len(files), args.batch):
+        chunk = files[i : i + args.batch]
+        imgs = np.stack([_load_rgb(os.path.join(args.images, f), hw) for f in chunk])
+        x01 = jnp.asarray(imgs, jnp.float32) / 255.0
+        restored, probs = pipeline(x01)
+        restored = np.clip(np.asarray(restored) * 255.0, 0, 255).astype(np.uint8)
+        for j, fname in enumerate(chunk):
+            stem = os.path.splitext(fname)[0]
+            Image.fromarray(restored[j]).save(os.path.join(args.out, f"{stem}.png"))
+            if args.save_probs:
+                probs_log.append(
+                    {
+                        "file": fname,
+                        "probs": {n: float(probs[j, k]) for k, n in enumerate(expert_names)},
+                    }
+                )
+        print(f"[pipeline] {min(i+args.batch, len(files))}/{len(files)}")
+
+    if args.save_probs:
+        with open(os.path.join(args.out, "probs.jsonl"), "w") as f:
+            for row in probs_log:
+                f.write(json.dumps(row) + "\n")
+    print(f"[OK] restored {len(files)} images -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

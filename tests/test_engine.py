@@ -160,3 +160,22 @@ def test_resume_from_full_state(trained, tmp_path):
     cfg = load_config(str(cfg_path2), phase="train")
     run_cli.main(cfg)  # must restore opt state (step > 0) and not crash
     assert os.path.isfile(tmp_path / "weights" / "tiny.pt")
+
+
+def test_engine_with_mesh_config(tmp_path):
+    """train.mesh in the config routes the step through shard_train_step."""
+    import jax
+    import pytest as _pytest
+
+    if len(jax.devices()) < 8:
+        _pytest.skip("needs 8 devices")
+    cfg_dict = _tiny_config(tmp_path, n_epoch=1)
+    cfg_dict["train"]["mesh"] = {"data": -1}
+    cfg_dict["train"]["dataloader"] = {"args": {"batch_size": 8, "shuffle": False, "num_workers": 0}}
+    cfg_dict["train"]["dataset"]["args"]["n_images"] = 8
+    cfg_dict["logging"]["checkpoints"]["enabled"] = False
+    cfg_path = tmp_path / "mesh.json"
+    cfg_path.write_text(json.dumps(cfg_dict))
+    cfg = load_config(str(cfg_path), phase="train")
+    run_cli.main(cfg)
+    assert os.path.isfile(tmp_path / "weights" / "tiny.pt")
