@@ -29,9 +29,12 @@ if not _os.environ.get("JAX_COMPILATION_CACHE_DIR"):
     try:
         import jax as _jax
 
-        _cache = _os.path.expanduser("~/.jax_cache")
-        _os.makedirs(_cache, exist_ok=True)
-        _jax.config.update("jax_compilation_cache_dir", _cache)
+        # TPU only: CPU AOT cache entries are machine-feature sensitive and
+        # can SIGILL across host types; TPU compiles are the expensive ones.
+        if _jax.default_backend() != "cpu":
+            _cache = _os.path.expanduser("~/.jax_cache")
+            _os.makedirs(_cache, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache)
     except Exception:
         pass
 

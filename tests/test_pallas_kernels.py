@@ -1,0 +1,52 @@
+"""Pallas fused DenseBlock kernel vs the Flax module (interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from multi_degradation_image_enhancement_tpu.models.cdan import DenseBlock
+from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block import (
+    fold_bn,
+    fused_dense_block,
+)
+
+
+@pytest.mark.parametrize("c_in,h,w", [(64, 32, 48), (3, 16, 24), (128, 16, 24)])
+def test_fused_dense_block_matches_module(c_in, h, w):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, h, w, c_in), jnp.float32)
+    m = DenseBlock(c_in)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    # randomized running stats so the BN folding is actually exercised
+    bs = jax.tree.map(
+        lambda t: jnp.asarray(rng.uniform(0.5, 1.5, t.shape), t.dtype), v["batch_stats"]
+    )
+    variables = {"params": v["params"], "batch_stats": bs}
+    ref = m.apply(variables, x, train=False)
+    got = fused_dense_block(x, variables["params"], variables["batch_stats"], interpret=True)
+    assert got.shape == ref.shape
+    # kernel computes features in bf16 (matching the bf16 production forward)
+    assert float(jnp.abs(ref - got).max()) < 5e-2
+    assert float(jnp.abs(ref - got).mean()) < 5e-3
+
+
+def test_fused_dense_block_dense_activations_hard_case():
+    """Default (identity) BN stats keep activations dense — the case that
+    exposed the halo-contamination bug (relu(affine(0)) ≠ 0)."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(1, 24, 16, 64), jnp.float32)
+    m = DenseBlock(64)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    ref = m.apply(v, x, train=False)
+    got = fused_dense_block(x, v["params"], v["batch_stats"], interpret=True)
+    assert float(jnp.abs(ref - got).max()) < 5e-2
+
+
+def test_fold_bn_math():
+    scale = jnp.asarray([2.0]); bias = jnp.asarray([1.0])
+    mean = jnp.asarray([0.5]); var = jnp.asarray([4.0])
+    a, b = fold_bn(scale, bias, mean, var, eps=0.0)
+    x = jnp.asarray([3.0])
+    direct = scale * (x - mean) / jnp.sqrt(var) + bias
+    assert float(jnp.abs(a * x + b - direct)[0]) < 1e-6
