@@ -179,3 +179,44 @@ def test_engine_with_mesh_config(tmp_path):
     cfg = load_config(str(cfg_path), phase="train")
     run_cli.main(cfg)
     assert os.path.isfile(tmp_path / "weights" / "tiny.pt")
+
+
+def test_unpaired_test_phase(tmp_path, capsys):
+    """Unpaired dataset → outputs saved, no PRE/POST metrics (reference
+    models/model.py:338-363 branch)."""
+    import numpy as np
+    from PIL import Image
+
+    cfg_dict = _tiny_config(tmp_path, n_epoch=1)
+    # train quickly to produce weights
+    cfg_path = tmp_path / "t.json"
+    cfg_path.write_text(json.dumps(cfg_dict))
+    run_cli.main(load_config(str(cfg_path), phase="train"))
+
+    # unpaired input dir
+    img_dir = tmp_path / "unpaired"
+    os.makedirs(img_dir)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (16, 24, 3), dtype=np.uint8)).save(
+            img_dir / f"u{i}.png"
+        )
+    cfg_dict["test"]["dataset"] = {
+        "name": ["data.dataset", "UnpairedDataset"],
+        "args": {
+            "input_root": str(img_dir),
+            "transform": {"backend": "albumentations", "ops": [
+                {"name": "Resize", "args": {"height": 16, "width": 24}},
+                {"name": "Normalize", "args": {"mean": [0, 0, 0], "std": [1, 1, 1]}},
+                {"name": "ToTensorV2", "args": {}},
+            ]},
+        },
+        "is_paired": False,
+    }
+    cfg_path2 = tmp_path / "t2.json"
+    cfg_path2.write_text(json.dumps(cfg_dict))
+    run_cli.main(load_config(str(cfg_path2), phase="test"))
+    out = capsys.readouterr().out
+    assert "[PRE]" not in out  # no paired metrics on unpaired data
+    outputs = os.listdir(tmp_path / "outputs")
+    assert sum(f.startswith("pp_") for f in outputs) >= 3
