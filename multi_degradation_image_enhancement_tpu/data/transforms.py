@@ -5,8 +5,9 @@ Capability parity with the reference transforms factory
 schema (``backend`` + ``ops`` whitelist) builds a transform; the ops used by
 the 11 task configs (Resize, HorizontalFlip, VerticalFlip, RandomRotate90,
 RandomBrightnessContrast, Normalize, ToTensorV2) are fully supported, plus
-GaussNoise / MotionBlur / RandomGamma / Sharpen and the torchvision-backend
-basics.  CLAHE and HueSaturationValue raise a clear error for now.
+the rest of the reference's albumentations whitelist (GaussNoise,
+MotionBlur, RandomGamma, Sharpen, HueSaturationValue, CLAHE — the last two
+golden-tested against cv2 color math) and the torchvision-backend basics.
 
 Design differences (deliberate, TPU-first):
   * transforms run *batched on device* inside jit — per-sample random
@@ -178,6 +179,45 @@ def _op_random_gamma(gamma_limit=(80.0, 120.0), p: float = 0.5) -> TransformOp:
     return op
 
 
+def _op_hsv(
+    hue_limit: float = 20, sat_limit: float = 30, val_limit: float = 20, p: float = 0.5
+) -> TransformOp:
+    """albumentations HueSaturationValue: per-sample uniform shifts in cv2 HSV."""
+    from multi_degradation_image_enhancement_tpu.ops.color import (
+        hsv_to_rgb_cv,
+        rgb_to_hsv_cv,
+    )
+
+    def op(x, key):
+        b = x.shape[0]
+        ka, kh, ks, kv = jax.random.split(key, 4)
+        applied = _per_sample_bernoulli(ka, b, p).astype(jnp.float32)[:, None, None]
+        dh = jax.random.uniform(kh, (b,), minval=-hue_limit, maxval=hue_limit)
+        ds = jax.random.uniform(ks, (b,), minval=-sat_limit, maxval=sat_limit)
+        dv = jax.random.uniform(kv, (b,), minval=-val_limit, maxval=val_limit)
+        hsv = rgb_to_hsv_cv(x)
+        h = jnp.mod(hsv[..., 0] + applied * dh[:, None, None], 180.0)
+        s = jnp.clip(hsv[..., 1] + applied * ds[:, None, None], 0.0, 255.0)
+        v = jnp.clip(hsv[..., 2] + applied * dv[:, None, None], 0.0, 255.0)
+        out = hsv_to_rgb_cv(jnp.stack([h, s, v], axis=-1))
+        return jnp.clip(out, 0.0, 255.0)
+
+    return op
+
+
+def _op_clahe(clip_limit: float = 4.0, grid=(8, 8), p: float = 0.5) -> TransformOp:
+    """albumentations CLAHE (LAB-L channel), batched on device."""
+    from multi_degradation_image_enhancement_tpu.ops.clahe import clahe_rgb
+
+    def op(x, key):
+        b = x.shape[0]
+        applied = _per_sample_bernoulli(key, b, p)
+        enhanced = clahe_rgb(x, grid=grid[0], clip_limit=clip_limit)
+        return _select(applied, enhanced, x)
+
+    return op
+
+
 def _albu_op(name: str, args: Dict[str, Any]) -> TransformOp:
     if name == "Resize":
         return _op_resize(args["height"], args["width"])
@@ -214,6 +254,14 @@ def _albu_op(name: str, args: Dict[str, Any]) -> TransformOp:
             return _select(applied, sharped, x)
 
         return op
+    if name == "HueSaturationValue":
+        return _op_hsv(
+            args.get("hue_shift_limit", 20), args.get("sat_shift_limit", 30),
+            args.get("val_shift_limit", 20), args.get("p", 0.5),
+        )
+    if name == "CLAHE":
+        return _op_clahe(args.get("clip_limit", 4.0),
+                         tuple(args.get("tile_grid_size", (8, 8))), args.get("p", 0.5))
     if name == "Normalize":
         return _op_normalize(args["mean"], args["std"], args.get("max_pixel_value", 255.0))
     if name == "ToTensorV2":

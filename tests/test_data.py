@@ -56,7 +56,7 @@ def test_normalize_semantics():
 def test_unknown_transform_raises():
     with pytest.raises(ValueError):
         build_transforms(
-            {"backend": "albumentations", "ops": [{"name": "CLAHE", "args": {}}]},
+            {"backend": "albumentations", "ops": [{"name": "ZorpWarp", "args": {}}]},
             is_paired=True,
         )
 
