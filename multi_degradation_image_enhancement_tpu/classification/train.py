@@ -246,6 +246,12 @@ def parse_args(argv=None):
     p.add_argument("--no_pretrained", action="store_true")
     p.add_argument("--diag_topk", type=int, default=24)
     p.add_argument("--input_hw", type=int, nargs=2, default=[256, 384])
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on on-device synthesized degradations (no disk dataset)")
+    p.add_argument("--synthetic_images", type=int, default=256)
+    p.add_argument("--synthetic_variants", type=int, default=2)
+    p.add_argument("--clean_root", type=str, default="",
+                   help="clean images for --synthetic (procedural if empty)")
     return p.parse_args(argv)
 
 
@@ -269,21 +275,44 @@ def main(argv=None):
     if not (args.train or args.tune_thresh or args.test or args.diagnostics):
         args.train = args.tune_thresh = args.test = args.diagnostics = True
 
-    with open(os.path.join(dataset_root, "meta", "classes.json"), encoding="utf-8") as f:
-        classes = json.load(f)
-    num_classes = len(classes)
-    print("Classes:", classes)
-
     input_hw = tuple(args.input_hw)
     normalize = not args.no_normalize
     if normalize:
         print(f"Using ImageNet normalization: mean={IMAGENET_MEAN} std={IMAGENET_STD}")
 
-    mk_loader = lambda split, shuffle, augment: ClassifierLoader(
-        MultiLabelSeverityDataset(dataset_root, split, classes, input_hw),
-        batch_size=args.batch_size, shuffle=shuffle, augment=augment,
-        normalize=normalize, num_workers=args.num_workers,
-    )
+    if args.synthetic:
+        from multi_degradation_image_enhancement_tpu.classification.synthetic import (
+            SyntheticClassifierDataset,
+            SyntheticClassifierLoader,
+        )
+        from multi_degradation_image_enhancement_tpu.ops.degradations import DEGRADATIONS
+
+        classes = list(DEGRADATIONS)
+        print("Classes (synthetic):", classes)
+
+        def mk_loader(split, shuffle, augment):
+            n = args.synthetic_images if split == "train" else max(16, args.synthetic_images // 4)
+            ds = SyntheticClassifierDataset(
+                split=split, clean_root=args.clean_root or None, n_images=n,
+                variants_per_image=args.synthetic_variants, input_hw=input_hw,
+            )
+            return SyntheticClassifierLoader(
+                ds, batch_size=args.batch_size, shuffle=shuffle,
+                augment=augment, normalize=normalize,
+            )
+    else:
+        with open(os.path.join(dataset_root, "meta", "classes.json"), encoding="utf-8") as f:
+            classes = json.load(f)
+        print("Classes:", classes)
+
+        def mk_loader(split, shuffle, augment):
+            return ClassifierLoader(
+                MultiLabelSeverityDataset(dataset_root, split, classes, input_hw),
+                batch_size=args.batch_size, shuffle=shuffle, augment=augment,
+                normalize=normalize, num_workers=args.num_workers,
+            )
+
+    num_classes = len(classes)
     train_loader = mk_loader("train", True, True)
     val_loader = mk_loader("val", False, False)
     test_loader = mk_loader("test", False, False)
@@ -297,7 +326,10 @@ def main(argv=None):
         model, input_hw, pretrained_backbone=not args.no_pretrained
     )
 
-    train_rows = read_jsonl(os.path.join(dataset_root, "train", "labels.jsonl"))
+    if args.synthetic:
+        train_rows = train_loader.dataset.labels_rows()
+    else:
+        train_rows = read_jsonl(os.path.join(dataset_root, "train", "labels.jsonl"))
     pos_weight = jnp.asarray(M.compute_pos_weight(train_rows, classes))
     print("pos_weight:", np.asarray(pos_weight).tolist())
 
