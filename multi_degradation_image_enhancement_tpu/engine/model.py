@@ -158,7 +158,13 @@ class Model(BaseModel):
             network = network.clone(dtype=jnp.bfloat16)
         self.network = network
 
-        self.tx = optax.adam(self.lr)
+        grad_clip = (cfg.get("train", {}) or {}).get("grad_clip")
+        if grad_clip:
+            self.tx = optax.chain(
+                optax.clip_by_global_norm(float(grad_clip)), optax.adam(self.lr)
+            )
+        else:
+            self.tx = optax.adam(self.lr)
 
         # ---- pipelines from config ----
         self.loss_cfg = cfg.get("loss", {}) or {}
