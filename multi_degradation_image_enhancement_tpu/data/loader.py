@@ -80,6 +80,14 @@ class DeviceDataLoader:
         self._pipeline = pipeline
         self._mode = "degrade" if degrade_name is not None else ("paired" if paired else "single")
 
+        # Procedural/synthetic clean sets are small (≤ a few hundred MB u8):
+        # cache them in HBM once so training batches are a device gather —
+        # no host decode, no H2D per step (the 1-core host otherwise caps
+        # training throughput).
+        self._clean_dev = None
+        if self._mode == "degrade" and getattr(dataset, "_clean", None) is not None:
+            self._clean_dev = jnp.asarray(dataset._clean)
+
     def __len__(self) -> int:
         n = len(self.dataset)
         return (n + self.batch_size - 1) // self.batch_size
@@ -130,6 +138,13 @@ class DeviceDataLoader:
         self._epoch += 1
 
         batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
+
+        if self._clean_dev is not None:  # fully device-resident path
+            for bi, idxs in enumerate(batches):
+                key = jax.random.fold_in(epoch_key, bi)
+                x = jnp.take(self._clean_dev, jnp.asarray(idxs), axis=0)
+                yield self._pipeline(x, key)
+            return
 
         # One-deep host prefetch: decode batch i+1 while the device consumes i.
         q: Queue = Queue(maxsize=2)
