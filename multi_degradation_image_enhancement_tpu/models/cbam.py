@@ -53,7 +53,7 @@ class BasicConv(nn.Module):
                 use_running_average=not train,
                 momentum=0.99,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=jnp.float32 if train else self.dtype,
             )(x)
         if self.use_relu:
             x = nn.relu(x)

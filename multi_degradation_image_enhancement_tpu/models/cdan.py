@@ -58,7 +58,8 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=jnp.float32 if train else self.dtype)(x)
         return nn.relu(x)
 
 
@@ -86,7 +87,7 @@ class DenseBlock(nn.Module):
         feats = x
         for i in range(self.num_layers):
             h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, dtype=jnp.float32, name=f"bn_{i}"
+                use_running_average=not train, momentum=0.9, dtype=jnp.float32 if train else self.dtype, name=f"bn_{i}"
             )(feats)
             h = nn.relu(h)
             h = nn.Conv(
@@ -96,7 +97,7 @@ class DenseBlock(nn.Module):
             # next conv consumes it directly from VMEM.
             feats = jnp.concatenate([feats, h], axis=-1)
         out = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, dtype=jnp.float32, name="bn_t"
+            use_running_average=not train, momentum=0.9, dtype=jnp.float32 if train else self.dtype, name="bn_t"
         )(feats)
         out = nn.relu(out)
         out = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv_t")(out)
@@ -163,7 +164,7 @@ class Decoder(nn.Module):
         def deconv_bn_relu(h, feats, name):
             h = nn.Conv(feats, (3, 3), padding="SAME", dtype=self.dtype, name=f"{name}_conv")(h)
             h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, dtype=jnp.float32, name=f"{name}_bn"
+                use_running_average=not train, momentum=0.9, dtype=jnp.float32 if train else self.dtype, name=f"{name}_bn"
             )(h)
             return nn.relu(h)
 

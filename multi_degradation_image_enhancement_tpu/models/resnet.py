@@ -30,17 +30,17 @@ class BasicBlock(nn.Module):
                       padding=((1, 1), (1, 1)), use_bias=False, dtype=self.dtype,
                       name="conv1")(x)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           dtype=jnp.float32, name="bn1")(out)
+                           dtype=jnp.float32 if train else self.dtype, name="bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
                       use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           dtype=jnp.float32, name="bn2")(out)
+                           dtype=jnp.float32 if train else self.dtype, name="bn2")(out)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
                                use_bias=False, dtype=self.dtype, name="downsample_conv")(x)
             identity = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                    dtype=jnp.float32, name="downsample_bn")(identity)
+                                    dtype=jnp.float32 if train else self.dtype, name="downsample_bn")(identity)
         return nn.relu(out + identity)
 
 
@@ -54,7 +54,7 @@ class ResNet18Features(nn.Module):
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=jnp.float32, name="bn1")(x)
+                         dtype=jnp.float32 if train else self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for li, (features, stride) in enumerate(
