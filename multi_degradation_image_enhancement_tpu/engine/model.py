@@ -56,24 +56,34 @@ except Exception:  # pragma: no cover
         return x
 
 
-def make_train_step(network, loss_pipe):
+def make_train_step(network, loss_pipe, remat: bool = False):
     """One SGD step as a pure function: forward + loss + backward + Adam + BN.
 
     Shared by the engine and by sharded/multi-chip entry points: under
     ``jit`` with a sharded batch and replicated params, XLA inserts the
     gradient all-reduce (and makes BatchNorm effectively sync-BN, since batch
     reductions span the global batch) — no hand-written collectives.
+
+    ``remat=True`` rematerializes the forward during backward
+    (``jax.checkpoint``) — trades FLOPs for activation memory, enabling
+    larger per-chip batches.
     """
+
+    def forward(params, batch_stats, inputs, dropout_key):
+        return network.apply(
+            {"params": params, "batch_stats": batch_stats},
+            inputs,
+            train=True,
+            mutable=["batch_stats"],
+            rngs={"dropout": dropout_key},
+        )
+
+    if remat:
+        forward = jax.checkpoint(forward)
 
     def step(state: TrainState, inputs, targets, dropout_key):
         def loss_fn(params):
-            outputs, mutated = network.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                inputs,
-                train=True,
-                mutable=["batch_stats"],
-                rngs={"dropout": dropout_key},
-            )
+            outputs, mutated = forward(params, state.batch_stats, inputs, dropout_key)
             loss_dict = loss_pipe(outputs, targets=targets, inputs=inputs, is_paired=True)
             return loss_dict["total"], (loss_dict, mutated)
 
@@ -227,7 +237,8 @@ class Model(BaseModel):
         )
 
     def _build_train_step(self):
-        step = make_train_step(self.network, self.loss_pipe)
+        remat = bool((self.config.get("train", {}) or {}).get("remat", False))
+        step = make_train_step(self.network, self.loss_pipe, remat=remat)
         mesh_cfg = (self.config.get("train", {}) or {}).get("mesh")
         if mesh_cfg:
             from multi_degradation_image_enhancement_tpu.parallel.mesh import (

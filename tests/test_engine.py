@@ -220,3 +220,35 @@ def test_unpaired_test_phase(tmp_path, capsys):
     assert "[PRE]" not in out  # no paired metrics on unpaired data
     outputs = os.listdir(tmp_path / "outputs")
     assert sum(f.startswith("pp_") for f in outputs) >= 3
+
+
+def test_remat_train_step_matches_plain():
+    """train.remat recomputes the forward in backward — same numerics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from multi_degradation_image_enhancement_tpu.engine.model import make_train_step
+    from multi_degradation_image_enhancement_tpu.engine.state import TrainState
+    from multi_degradation_image_enhancement_tpu.ops.losses import build_loss_pipeline
+    from tests.tiny_net import TinyNet
+
+    model = TinyNet()
+    loss_pipe = build_loss_pipeline({"enabled": True, "terms": [{"name": "mse", "weight": 1.0}]})
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 24, 3), jnp.float32)
+    y = jnp.asarray(rng.rand(2, 16, 24, 3), jnp.float32)
+
+    def run(remat):
+        v = model.init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x, train=True)
+        state = TrainState.create(params=v["params"], batch_stats=v["batch_stats"], tx=optax.sgd(0.1))
+        step = jax.jit(make_train_step(model, loss_pipe, remat=remat))
+        state, ld = step(state, x, y, jax.random.key(2))
+        return jax.device_get(state.params), float(ld["total"])
+
+    p0, l0 = run(False)
+    p1, l1 = run(True)
+    assert l0 == l1
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
