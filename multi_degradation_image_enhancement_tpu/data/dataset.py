@@ -36,6 +36,51 @@ def _stem(filename: str) -> str:
     return os.path.splitext(filename)[0]
 
 
+# Pairing keys per mode: how a file in one root is matched to the other root.
+_PAIR_KEYS = {
+    "filename": lambda f: f,
+    "stem": _stem,
+}
+
+
+def _match_pairs(input_root: str, target_root: str, mode: str):
+    """Resolve (degraded_path, clean_path) pairs between two directories.
+
+    Modes (same contract as reference ``data/dataset.py:52-77``):
+    ``filename`` matches identical names, ``stem`` ignores the extension,
+    ``sorted`` zips the two sorted listings positionally (legacy; truncates
+    to the shorter side).
+    """
+    inp_files = _list_images(input_root)
+    tgt_files = _list_images(target_root)
+
+    if mode == "sorted":
+        return [
+            (os.path.join(input_root, a), os.path.join(target_root, b))
+            for a, b in zip(inp_files, tgt_files)
+        ]
+
+    key = _PAIR_KEYS.get(mode)
+    if key is None:
+        raise ValueError(f"Unknown pairing_mode: {mode}")
+    by_key_inp = {key(f): f for f in inp_files}
+    by_key_tgt = {key(f): f for f in tgt_files}
+    pairs = [
+        (
+            os.path.join(input_root, by_key_inp[k]),
+            os.path.join(target_root, by_key_tgt[k]),
+        )
+        for k in sorted(by_key_inp.keys() & by_key_tgt.keys())
+    ]
+    if not pairs:
+        raise RuntimeError(
+            f"Pairing produced zero matches (mode={mode!r}) between "
+            f"{input_root!r} ({len(inp_files)} images) and "
+            f"{target_root!r} ({len(tgt_files)} images)."
+        )
+    return pairs
+
+
 def _load_rgb(path: str, target_hw: Optional[Tuple[int, int]]) -> np.ndarray:
     """Decode to uint8 RGB [H,W,3]; resize on host only if sizes are ragged.
 
@@ -73,34 +118,7 @@ class PairedDataset:
     ):
         self.input_root = input_root
         self.target_root = target_root
-
-        inp_files = _list_images(input_root)
-        tgt_files = _list_images(target_root)
-
-        if pairing_mode == "sorted":
-            self.pairs = list(
-                zip(
-                    [os.path.join(input_root, f) for f in inp_files],
-                    [os.path.join(target_root, f) for f in tgt_files],
-                )
-            )
-        else:
-            if pairing_mode == "filename":
-                inp_map = {f: os.path.join(input_root, f) for f in inp_files}
-                tgt_map = {f: os.path.join(target_root, f) for f in tgt_files}
-            elif pairing_mode == "stem":
-                inp_map = {_stem(f): os.path.join(input_root, f) for f in inp_files}
-                tgt_map = {_stem(f): os.path.join(target_root, f) for f in tgt_files}
-            else:
-                raise ValueError(f"Unknown pairing_mode: {pairing_mode}")
-            keys = sorted(set(inp_map) & set(tgt_map))
-            if not keys:
-                raise RuntimeError(
-                    f"No paired files found with pairing_mode='{pairing_mode}'.\n"
-                    f"input_root={input_root}\ntarget_root={target_root}"
-                )
-            self.pairs = [(inp_map[k], tgt_map[k]) for k in keys]
-
+        self.pairs = _match_pairs(input_root, target_root, pairing_mode)
         self.backend, self.transform = build_transforms(transform, is_paired=True)
 
     def __len__(self) -> int:

@@ -71,7 +71,7 @@ class DenseBlock(nn.Module):
     transition conv to ``features`` channels.
 
     The 16-output growth convs are the model's hot spot on TPU; a tap-packed
-    matmul reformulation (``ops.fast_conv``) was evaluated and *rejected* —
+    matmul reformulation (tap-packed convs; since removed) was evaluated and *rejected* —
     its [B·H·W, 9F] intermediate costs gigabytes of padded HBM traffic at
     full resolution (honest timing: final DB @256² 137 ms tap-packed).  The
     dedicated Pallas fused kernel is the planned fast path.

@@ -14,7 +14,7 @@ per-batch metric values over batches, matching the reference's averaging
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,8 +32,18 @@ class MetricItem:
 
 
 class MetricsPipeline:
-    def __init__(self, metrics: Dict[str, MetricItem]):
-        self.metrics = metrics
+    """Ordered list of metric items (NOT a name-keyed dict).
+
+    The reference stores items in a dict keyed by name
+    (``utils/metrics_factory.py:62``), so two items sharing a name —
+    e.g. the same metric under ``paired`` and ``unpaired`` modes, legal in
+    the list schema — silently drop all but the last.  Holding a list keeps
+    every item; the mode filter then selects which ones contribute to the
+    output mapping for a given call.
+    """
+
+    def __init__(self, metrics: List[MetricItem]):
+        self.metrics = list(metrics)
 
     def __call__(
         self,
@@ -43,13 +53,13 @@ class MetricsPipeline:
         is_paired: bool = True,
     ) -> Dict[str, jax.Array]:
         out: Dict[str, jax.Array] = {}
-        for name, item in self.metrics.items():
+        for item in self.metrics:
             if item.mode == "paired" and not is_paired:
                 continue
             if item.mode == "unpaired" and is_paired:
                 continue
             val = item.fn(outputs=outputs, targets=targets, inputs=inputs)
-            out[name] = jnp.mean(val) if val.ndim != 0 else val
+            out[item.name] = jnp.mean(val) if val.ndim != 0 else val
         return out
 
 
@@ -63,9 +73,9 @@ def build_metrics_pipeline(
 ) -> MetricsPipeline:
     """Build a :class:`MetricsPipeline`; ``device`` kept for signature parity."""
     if not metrics_cfg or not metrics_cfg.get("enabled", True):
-        return MetricsPipeline({})
+        return MetricsPipeline([])
 
-    metrics: Dict[str, MetricItem] = {}
+    metrics: List[MetricItem] = []
     for it in metrics_cfg.get("items", []) or []:
         name = it["name"]
         args = it.get("args", {}) or {}
@@ -77,7 +87,7 @@ def build_metrics_pipeline(
                 _require_targets("psnr", targets)
                 return psnr_fn(outputs, targets)
 
-            metrics["psnr"] = MetricItem("psnr", mode, psnr)
+            metrics.append(MetricItem("psnr", mode, psnr))
 
         elif name == "ssim":
 
@@ -85,7 +95,7 @@ def build_metrics_pipeline(
                 _require_targets("ssim", targets)
                 return ssim_fn(outputs, targets)
 
-            metrics["ssim"] = MetricItem("ssim", mode, ssim)
+            metrics.append(MetricItem("ssim", mode, ssim))
 
         elif name == "lpips":
             net = args.get("net", args.get("net_type", "alex"))
@@ -102,7 +112,7 @@ def build_metrics_pipeline(
                 _require_targets("lpips", targets)
                 return _m.apply(_v, outputs, targets)
 
-            metrics["lpips"] = MetricItem("lpips", mode, lpips)
+            metrics.append(MetricItem("lpips", mode, lpips))
 
         else:
             raise ValueError(f"Unknown metric: {name}")

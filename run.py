@@ -1,11 +1,16 @@
 #!/usr/bin/env python
 """CLI runner: ``python run.py -c config/X.json -p {train,test}``.
 
-CLI parity with the reference runner (``run.py:8-58`` in /root/reference):
-parse config (with ``//`` comments), seed, logger, dataset → dataloader →
-network → model, then train (with post-train plots) or test.  Both this
-framework's configs (``multi_degradation_image_enhancement_tpu/config/``)
-and the reference's own config files are accepted.
+Same external contract as the reference runner (``run.py:8-58`` in
+/root/reference): a JSON config (``//`` comments allowed) plus a phase flag
+drive the whole run.  Both this framework's configs
+(``multi_degradation_image_enhancement_tpu/config/``) and the reference's own
+config files are accepted unchanged.
+
+Internally the flow is organised the way the JAX stack wants it: the network
+definition is resolved first (it is pure — no device state until the engine
+initialises parameters), then the host data pipeline, then the engine which
+owns jit/shard decisions and the logger sinks.
 """
 
 from __future__ import annotations
@@ -23,36 +28,48 @@ from multi_degradation_image_enhancement_tpu.utils.registry import (
 from multi_degradation_image_enhancement_tpu.utils.rng import set_seed_and_cudnn
 
 
-def main(config):
-    set_seed_and_cudnn()
+def build_session(config):
+    """Resolve config into (logger, engine) without running anything.
 
+    Split out from :func:`main` so tests and tools can assemble the exact
+    CLI object graph programmatically.
+    """
+    set_seed_and_cudnn()
     logger = ExperimentLogger(config)
-    if logger.run_dir():
-        print(f"[LOGGER] Run dir: {logger.run_dir()}")
 
     phase = config["phase"]
-    dataset = define_dataset(config[phase]["dataset"])
-    dataloader = define_dataloader(dataset, config[phase]["dataloader"]["args"])
     network = define_network(config["model"]["networks"][0])
 
-    model = create_model(
-        config=config,
-        network=network,
-        dataloader=dataloader,
-        logger=logger,
+    phase_cfg = config[phase]
+    dataset = define_dataset(phase_cfg["dataset"])
+    dataloader = define_dataloader(dataset, phase_cfg["dataloader"]["args"])
+
+    engine = create_model(
+        config=config, network=network, dataloader=dataloader, logger=logger
     )
-
-    if phase == "train":
-        model.train()
-        logger.generate_plots()
-    else:
-        model.test()
-
-    logger.close()
+    return logger, engine
 
 
-if __name__ == "__main__":
-    parser = argparse.ArgumentParser()
+def main(config):
+    logger, engine = build_session(config)
+    run_dir = logger.run_dir()
+    if run_dir:
+        print(f"[LOGGER] Run dir: {run_dir}")
+
+    try:
+        if config["phase"] == "train":
+            engine.train()
+            logger.generate_plots()
+        else:
+            engine.test()
+    finally:
+        logger.close()
+
+
+def _cli():
+    parser = argparse.ArgumentParser(
+        description="Train or evaluate a restoration task from a JSON config."
+    )
     parser.add_argument(
         "-c", "--config", type=str,
         default="multi_degradation_image_enhancement_tpu/config/noise.json",
@@ -62,5 +79,8 @@ if __name__ == "__main__":
         "-p", "--phase", type=str, choices=["train", "test"], default="train",
         help="Phase to run (train or test)",
     )
-    args = parser.parse_args()
-    main(parse(args))
+    return parser.parse_args()
+
+
+if __name__ == "__main__":
+    main(parse(_cli()))

@@ -118,6 +118,52 @@ def test_metrics_pipeline_schema(xy):
         build_metrics_pipeline({"enabled": True, "items": [{"name": "zorp"}]})
 
 
+def test_duplicate_metric_names_mode_filtered(xy):
+    """Same metric name under both modes must not collide.
+
+    The reference factory keys items by name (utils/metrics_factory.py:62)
+    so the second entry silently clobbers the first; this pipeline keeps an
+    ordered list and lets the mode filter pick the active one per call.
+    """
+    xj, yj = xy
+    pipe = build_metrics_pipeline(
+        {"enabled": True, "items": [
+            {"name": "psnr", "mode": "paired"},
+            {"name": "psnr", "mode": "unpaired"},
+            {"name": "ssim"},
+        ]}
+    )
+    assert len(pipe.metrics) == 3
+    paired = pipe(xj, targets=yj, is_paired=True)
+    assert set(paired) == {"psnr", "ssim"}
+    # The unpaired call still evaluates its own psnr item (it needs targets
+    # here only because the metric itself is pairwise).
+    unpaired = pipe(xj, targets=yj, is_paired=False)
+    assert set(unpaired) == {"psnr"}
+
+
+def test_duplicate_loss_terms_accumulate(xy):
+    """Two same-name loss terms are both applied (list semantics), and the
+    late-binding closure bug the reference has (loss_factory.py:160-167
+    pattern) must not make them share args."""
+    xj, yj = xy
+    pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [
+            {"name": "charbonnier", "weight": 1.0, "args": {"eps": 1e-3}},
+            {"name": "charbonnier", "weight": 1.0, "args": {"eps": 1.0}},
+        ]}
+    )
+    res = pipe(xj, targets=yj)
+    single = build_loss_pipeline(
+        {"enabled": True, "terms": [{"name": "charbonnier", "weight": 1.0, "args": {"eps": 1e-3}}]}
+    )(xj, targets=yj)
+    big_eps = build_loss_pipeline(
+        {"enabled": True, "terms": [{"name": "charbonnier", "weight": 1.0, "args": {"eps": 1.0}}]}
+    )(xj, targets=yj)
+    expected = float(single["charbonnier"]) + float(big_eps["charbonnier"])
+    assert float(res["total"]) == pytest.approx(expected, rel=1e-5)
+
+
 def test_vgg_and_lpips_terms_run(xy):
     """Without converted weights these use seeded random frozen features —
     they must still be finite, deterministic, and zero at identity."""
