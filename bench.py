@@ -25,16 +25,22 @@ BASELINE_IMG_PER_SEC = 5000.0
 
 def build_pipeline(batch: int, size: int, dtype):
     from multi_degradation_image_enhancement_tpu.models.cdan import CDAN
+    from multi_degradation_image_enhancement_tpu.models.cdan_fast import build_fast_apply
     from multi_degradation_image_enhancement_tpu.ops.degradations import apply_degradation
 
     model = CDAN(dtype=dtype)
     variables = model.init(
         {"params": jax.random.key(0)}, jnp.zeros((1, size, size, 3), jnp.float32), train=False
     )
+    if jax.default_backend() == "cpu":  # smoke mode: interpreter kernels are too slow
+        forward = lambda z: model.apply(variables, z, train=False)
+    else:
+        # The serving path: Pallas channel-major DenseBlocks + BN-folded convs.
+        forward = build_fast_apply(variables, dtype)
 
     def step(clean255, key):
         degraded = apply_degradation("noise", clean255, key) / 255.0
-        restored = model.apply(variables, degraded, train=False)
+        restored = forward(degraded)
         return restored
 
     clean = (

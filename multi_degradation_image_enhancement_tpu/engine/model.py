@@ -250,7 +250,37 @@ class Model(BaseModel):
             return shard_train_step(step, mesh)
         return jax.jit(step, donate_argnums=(0,))
 
-    def _build_eval_step(self):
+    def _fused_eval_forward(self, params, batch_stats):
+        """Fused serving forward (Pallas DenseBlocks + BN-folded convs), or None.
+
+        Controlled by ``test.fused_kernels`` / ``model.fused_kernels``:
+        ``true`` forces it (interpreter-mode kernels on CPU — slow, tests
+        only), ``false`` disables, absent/"auto" enables it on TPU whenever
+        the network is the CDAN tree it understands.
+        """
+        flag = (self.config.get("test", {}) or {}).get("fused_kernels")
+        if flag is None:
+            flag = (self.config.get("model", {}) or {}).get("fused_kernels", "auto")
+        on_cpu = jax.default_backend() == "cpu"
+        if flag is False or (flag == "auto" and on_cpu):
+            return None
+        try:
+            from multi_degradation_image_enhancement_tpu.models.cdan_fast import (
+                build_fast_apply,
+            )
+
+            dtype = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
+            return build_fast_apply(
+                {"params": params, "batch_stats": batch_stats}, dtype, interpret=on_cpu
+            )
+        except (KeyError, AttributeError) as e:
+            if flag is True:
+                raise RuntimeError(
+                    f"fused_kernels=true but the network tree is not CDAN-shaped: {e}"
+                )
+            return None  # auto: non-CDAN network — keep the module path
+
+    def _build_eval_step(self, params=None, batch_stats=None):
         network = self.network
         loss_pipe = self.loss_pipe
         metrics_pipe = self.metrics_pipe
@@ -258,10 +288,19 @@ class Model(BaseModel):
         eval_on_raw = self.eval_on_raw
         eval_on_post = self.eval_on_post and bool(postproc_cfg.get("enabled", False))
 
+        fused_fwd = None
+        if params is not None:
+            fused_fwd = self._fused_eval_forward(params, batch_stats)
+            if fused_fwd is not None:
+                print("[ENGINE] fused inference kernels active (Pallas DenseBlocks)")
+
         def step(params, batch_stats, inputs, targets):
-            outputs = network.apply(
-                {"params": params, "batch_stats": batch_stats}, inputs, train=False
-            )
+            if fused_fwd is not None:
+                outputs = fused_fwd(inputs)
+            else:
+                outputs = network.apply(
+                    {"params": params, "batch_stats": batch_stats}, inputs, train=False
+                )
             pp_outputs = apply_postprocessing(outputs, postproc_cfg)
             result = {"raw": outputs, "post": pp_outputs}
             if targets is not None:
@@ -434,7 +473,7 @@ class Model(BaseModel):
 
     def test_step(self):
         params, batch_stats = self._load_for_eval()
-        eval_fn = self._build_eval_step()
+        eval_fn = self._build_eval_step(params, batch_stats)
 
         out_counter = 0
         max_save = self.save_cfg.get("max_images")

@@ -1,0 +1,330 @@
+"""Pallas TPU kernel: channel-major fused CDAN DenseBlock (inference).
+
+Second-generation fused DenseBlock.  The first kernel
+(``ops/pallas/dense_block.py``) kept the row-major ``[pixels, channels]``
+layout and lost to XLA at the big grids: with channels on the 128-lane axis,
+C∈{3..67} tiles waste up to 42/43 of every VPU op and the 16-column growth
+matmuls leave 7/8 of the MXU idle — the same structural wall XLA sits on
+(PERF.md roofline).
+
+This kernel transposes the problem.  Features live as ``[C, P]`` — channels
+on the 8/16-deep *sublane* axis, flattened pixels on the 128-lane axis:
+
+* the growth conv becomes ``A[48, 3C] @ X[3C, P]``: the 16 output channels
+  (×3 dy taps = 48) ride the matmul's M axis, which merely streams through
+  the systolic array — small M costs nothing, unlike small N.  K = 3C is
+  tap-stacked (dx ∈ {-1,0,+1} shifted copies), so the contraction is wide;
+* every elementwise op (BN affine, ReLU, masks) runs on ``[C, P]`` tiles —
+  sublane padding wastes at most 16/C instead of 128/C;
+* dx=±1 neighbour taps are 1-lane rotations with image-edge masks; the dy
+  tap reduction is three W-lane rotations of the 48-row matmul output.
+
+Spatial handling: each image is flattened to ``HW`` lanes with a ``5W`` zero
+halo on both sides (four chained 3×3 convs eat 4·(W+1) lanes of context;
+5W covers it and keeps every mask W-periodic).  Activations are masked to
+the image interior each layer, which reproduces zero-SAME-padding exactly —
+rotation wrap-around only ever pollutes lanes the validity analysis already
+discards.  Small grids pack several whole images side-by-side in one kernel
+block; large grids split an image into whole-row tiles with overlapping
+halos (materialised copies, so Pallas double-buffers the loads).
+
+Scope: inference (BN folded to per-channel affine), like its predecessor.
+Reference workload: ``/root/reference/models/cdan.py:22-53`` (DenseBlock).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block import fold_bn
+
+GROWTH = 16
+NUM_LAYERS = 4
+HALO_ROWS = 5  # rows of zero halo per side; ≥ 4 + 4/W for the chained convs
+
+# Working-set target per kernel invocation (feats + tap-stack + transients).
+# v5e has 128 MiB VMEM; a generous target keeps the 5W-per-side halo
+# overcompute (and grid-step count) small.  Measured A/B at B=128:
+# 8 MiB → DB(64)@128² 12.0 ms; 64 MiB → see PERF.md.
+_VMEM_TARGET_BYTES = 64 * 1024 * 1024
+
+
+def _ceil16(n: int) -> int:
+    return ((n + 15) // 16) * 16
+
+
+def _roll(x: jax.Array, shift: int, *, interpret: bool) -> jax.Array:
+    """Static circular shift along the lane (last) axis."""
+    if shift == 0:
+        return x
+    if interpret:  # pltpu.roll has no interpreter lowering
+        return jnp.roll(x, shift, axis=1)
+    return pltpu.roll(x, shift=shift % x.shape[1], axis=1)
+
+
+def _kernel(
+    x_ref,  # [1, 1, c0p, L]
+    *refs,
+    c0p: int,
+    w_img: int,
+    halo: int,
+    hw: int,
+    l_img: int,
+    tile_lanes: int,
+    segments: Tuple[Tuple[int, int, int], ...],
+    out_dtype,
+    interpret: bool,
+):
+    """refs: (a,b,A,bias)×4 layers, (at,bt,At,biast), out_ref, feats scratch."""
+    (a0, b0, A0, p0, a1, b1, A1, p1, a2, b2, A2, p2, a3, b3, A3, p3,
+     at, bt, At, pt, out_ref, feats, taps) = refs
+    layers = [(a0, b0, A0, p0), (a1, b1, A1, p1), (a2, b2, A2, p2), (a3, b3, A3, p3)]
+
+    L = x_ref.shape[-1]
+    # Global lane coordinate of each local lane.  Tiled mode: tile t covers
+    # [t·T, t·T+L) of one image's padded axis.  Packed mode: the block holds
+    # whole images, L_img-periodic.  One formula serves both.
+    base = pl.program_id(1) * tile_lanes
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) + base
+    pos = q % l_img
+    inside = ((pos >= halo) & (pos < halo + hw)).astype(jnp.float32)
+    col = q % w_img
+    # Neighbour masks: a ±1 lane rotation crosses a row boundary at the
+    # image's W edges — zero it there (SAME-conv zero padding).
+    # Masks stay f32: Mosaic lane rotation only supports 32-bit data, so the
+    # dx-shifted copies are rolled in f32 before the bf16 cast.
+    has_next = jnp.where(col == w_img - 1, 0.0, 1.0)
+    has_prev = jnp.where(col == 0, 0.0, 1.0)
+
+    feats[0:c0p, :] = x_ref[0, 0].astype(jnp.bfloat16)
+
+    def activate(rows, a_ref, b_ref):
+        f = feats[0:rows, :].astype(jnp.float32)
+        return jnp.maximum(f * a_ref[:] + b_ref[:], 0.0) * inside
+
+    for i in range(NUM_LAYERS):
+        a_ref, b_ref, A_ref, bias_ref = layers[i]
+        ci = c0p + GROWTH * i
+        v32 = activate(ci, a_ref, b_ref)
+        # dx-major tap stack [3ci, L] staged through scratch: a write forces
+        # the rotated copies back to a common lane-offset layout (Mosaic
+        # cannot concat vectors whose lazy rotation offsets differ).
+        taps[0:ci, :] = (_roll(v32, 1, interpret=interpret) * has_prev).astype(
+            jnp.bfloat16
+        )  # value at p-1
+        taps[ci : 2 * ci, :] = v32.astype(jnp.bfloat16)
+        taps[2 * ci : 3 * ci, :] = (
+            _roll(v32, -1, interpret=interpret) * has_next
+        ).astype(jnp.bfloat16)  # value at p+1
+        u = jax.lax.dot_general(
+            A_ref[:].astype(jnp.bfloat16),
+            taps[0 : 3 * ci, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [48, L] — rows are (dy, out_channel)
+        g = (
+            _roll(u[0:GROWTH, :], w_img, interpret=interpret)
+            + u[GROWTH : 2 * GROWTH, :]
+            + _roll(u[2 * GROWTH : 3 * GROWTH, :], -w_img, interpret=interpret)
+        )
+        feats[ci : ci + GROWTH, :] = (g + bias_ref[:]).astype(jnp.bfloat16)
+
+    vt = activate(feats.shape[0], at, bt).astype(jnp.bfloat16)
+    ot = jax.lax.dot_general(
+        At[:].astype(jnp.bfloat16),
+        vt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + pt[:]  # [C_outp, L]
+    ot = ot.astype(out_dtype)
+    for src, dst, ln in segments:
+        out_ref[0, 0, :, dst : dst + ln] = ot[:, src : src + ln]
+
+
+def _plan(h_img: int, w_img: int, c0p: int):
+    """Pick packed-images vs row-tiled blocking to fit the VMEM target."""
+    hw = h_img * w_img
+    halo = HALO_ROWS * w_img
+    l_img = hw + 2 * halo
+    c_total = c0p + NUM_LAYERS * GROWTH
+    # bytes/lane: feats (bf16) + tap-stack ×2 transients (bf16) + U (f32)
+    # + double-buffered input block (bf16)
+    bytes_per_lane = 2 * c_total + 2 * 3 * (c_total - GROWTH) * 2 + 4 * 48 + 2 * 2 * c0p
+    l_max = _VMEM_TARGET_BYTES // bytes_per_lane
+    if l_img <= l_max:
+        return {"mode": "packed", "n_max": max(l_max // l_img, 1)}
+    # Row-tiled: largest whole-row tile T = r·W with r | H and T + 2·halo ≤ l_max
+    for r in range(h_img, 0, -1):
+        if h_img % r == 0 and r * w_img + 2 * halo <= l_max:
+            return {"mode": "tiled", "rows": r}
+    return {"mode": "tiled", "rows": 1}
+
+
+def _pad_head(arr: jax.Array, c_in: int, c_pad: int, axis: int = 0) -> jax.Array:
+    """Zero-pad the first ``c_in`` entries of a concat-channel axis to ``c_pad``."""
+    if c_in == c_pad:
+        return arr
+    head = jax.lax.slice_in_dim(arr, 0, c_in, axis=axis)
+    tail = jax.lax.slice_in_dim(arr, c_in, arr.shape[axis], axis=axis)
+    pad_width = [(0, 0)] * arr.ndim
+    pad_width[axis] = (0, c_pad - c_in)
+    return jnp.concatenate([jnp.pad(head, pad_width), tail], axis=axis)
+
+
+def pack_params_cm(
+    params: Dict[str, Any], batch_stats: Dict[str, Any], c_in: int
+) -> Dict[str, jax.Array]:
+    """Fold BN + repack conv weights for the channel-major kernel.
+
+    Accepts the {bn_i, conv_i, bn_t, conv_t} layout of ``models.cdan.DenseBlock``.
+    """
+    c0p = _ceil16(c_in)
+    packed: Dict[str, jax.Array] = {}
+    for i in range(NUM_LAYERS):
+        bn, st = params[f"bn_{i}"], batch_stats[f"bn_{i}"]
+        a, b = fold_bn(bn["scale"], bn["bias"], st["mean"], st["var"])
+        ci_p = c0p + GROWTH * i
+        packed[f"a{i}"] = _pad_head(a, c_in, c0p)[:, None].astype(jnp.float32)
+        packed[f"b{i}"] = _pad_head(b, c_in, c0p)[:, None].astype(jnp.float32)
+        k = _pad_head(params[f"conv_{i}"]["kernel"], c_in, c0p, axis=2)  # [3,3,ci_p,16]
+        # rows (dy, o), cols (dx, c)
+        packed[f"A{i}"] = (
+            k.transpose(0, 3, 1, 2).reshape(3 * GROWTH, 3 * ci_p).astype(jnp.bfloat16)
+        )
+        packed[f"bias{i}"] = params[f"conv_{i}"]["bias"][:, None].astype(jnp.float32)
+    bn, st = params["bn_t"], batch_stats["bn_t"]
+    a, b = fold_bn(bn["scale"], bn["bias"], st["mean"], st["var"])
+    packed["at"] = _pad_head(a, c_in, c0p)[:, None].astype(jnp.float32)
+    packed["bt"] = _pad_head(b, c_in, c0p)[:, None].astype(jnp.float32)
+    wt = params["conv_t"]["kernel"][0, 0]  # [ct, C_out]
+    wt = _pad_head(wt, c_in, c0p, axis=0).T  # [C_out, ct_p]
+    c_out = wt.shape[0]
+    c_outp = _ceil16(c_out)
+    packed["At"] = jnp.pad(wt, ((0, c_outp - c_out), (0, 0))).astype(jnp.bfloat16)
+    packed["biast"] = jnp.pad(
+        params["conv_t"]["bias"], (0, c_outp - c_out)
+    )[:, None].astype(jnp.float32)
+    return packed
+
+
+@functools.partial(jax.jit, static_argnames=("c_in", "interpret"))
+def _run_cm(x: jax.Array, packed: Dict[str, jax.Array], *, c_in: int, interpret: bool):
+    b, h_img, w_img, _ = x.shape
+    hw = h_img * w_img
+    halo = HALO_ROWS * w_img
+    l_img = hw + 2 * halo
+    c0p = _ceil16(c_in)
+    c_outp = packed["At"].shape[0]
+    c_total = c0p + NUM_LAYERS * GROWTH
+    plan = _plan(h_img, w_img, c0p)
+
+    # NHWC → [B, c0p, halo + HW + halo] channel-major with zero halos
+    xcm = x.transpose(0, 3, 1, 2).reshape(b, c_in, hw)
+    xcm = jnp.pad(xcm, ((0, 0), (0, c0p - c_in), (halo, halo)))
+
+    if plan["mode"] == "packed":
+        n = 1
+        for cand in range(min(plan["n_max"], b), 0, -1):
+            if b % cand == 0:
+                n = cand
+                break
+        g = b // n
+        xt = xcm.reshape(g, n, c0p, l_img).transpose(0, 2, 1, 3).reshape(g, 1, c0p, n * l_img)
+        grid = (g, 1)
+        tile_lanes = 0
+        segments = tuple((j * l_img + halo, j * hw, hw) for j in range(n))
+        out_lanes = n * hw
+        l_block = n * l_img
+    else:
+        rows = plan["rows"]
+        tile_lanes = rows * w_img
+        n_tiles = h_img // rows
+        l_block = tile_lanes + 2 * halo
+        xt = jnp.stack(
+            [
+                jax.lax.dynamic_slice_in_dim(xcm, t * tile_lanes, l_block, axis=2)
+                for t in range(n_tiles)
+            ],
+            axis=1,
+        )  # [B, n_tiles, c0p, L]
+        grid = (b, n_tiles)
+        segments = ((halo, 0, tile_lanes),)
+        out_lanes = tile_lanes
+        n = 1
+        g = b
+
+    const = lambda i, j: (0, 0)
+    args: List[jax.Array] = []
+    in_specs = [
+        pl.BlockSpec((1, 1, c0p, l_block), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    names = [f"{nm}{i}" for i in range(NUM_LAYERS) for nm in ("a", "b", "A", "bias")]
+    names += ["at", "bt", "At", "biast"]
+    for nm in names:
+        args.append(packed[nm])
+        in_specs.append(pl.BlockSpec(packed[nm].shape, const, memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _kernel,
+        c0p=c0p,
+        w_img=w_img,
+        halo=halo,
+        hw=hw,
+        l_img=l_img,
+        tile_lanes=tile_lanes,
+        segments=segments,
+        out_dtype=x.dtype,
+        interpret=interpret,
+    )
+    if plan["mode"] == "packed":
+        out_index = lambda i, j: (i, j, 0, 0)
+        out_shape = (g, 1, c_outp, out_lanes)
+    else:
+        out_index = lambda i, j: (i, 0, 0, j)
+        out_shape = (b, 1, c_outp, hw)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, c_outp, out_lanes), out_index, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c_total, l_block), jnp.bfloat16),
+            pltpu.VMEM((3 * (c_total - GROWTH), l_block), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(xt, *args)
+
+    if plan["mode"] == "packed":
+        out = out.reshape(g, c_outp, n, hw).transpose(0, 2, 1, 3).reshape(b, c_outp, hw)
+    else:
+        out = out.reshape(b, c_outp, hw)
+    return out
+
+
+def fused_dense_block_cm(
+    x: jax.Array,
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Inference DenseBlock, channel-major fused in VMEM.
+
+    Drop-in equivalent of ``models.cdan.DenseBlock(...).apply(vars, x,
+    train=False)`` (tested against it); NHWC in, NHWC out.
+    """
+    c_in = x.shape[-1]
+    packed = pack_params_cm(params, batch_stats, c_in)
+    c_out = params["conv_t"]["kernel"].shape[-1]
+    out = _run_cm(x, packed, c_in=c_in, interpret=interpret)
+    b, _, hw = out.shape
+    h_img, w_img = x.shape[1], x.shape[2]
+    return out[:, :c_out, :].transpose(0, 2, 1).reshape(b, h_img, w_img, c_out)

@@ -43,6 +43,45 @@ def test_fused_dense_block_dense_activations_hard_case():
     assert float(jnp.abs(ref - got).max()) < 5e-2
 
 
+@pytest.mark.parametrize("c_in,h,w", [(64, 32, 48), (3, 16, 24), (128, 16, 24)])
+def test_cm_dense_block_matches_module(c_in, h, w):
+    """Channel-major kernel (the production serving path) vs the Flax module."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import (
+        fused_dense_block_cm,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, h, w, c_in), jnp.float32)
+    m = DenseBlock(c_in)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    bs = jax.tree.map(
+        lambda t: jnp.asarray(rng.uniform(0.5, 1.5, t.shape), t.dtype), v["batch_stats"]
+    )
+    variables = {"params": v["params"], "batch_stats": bs}
+    ref = m.apply(variables, x, train=False)
+    got = fused_dense_block_cm(x, v["params"], bs, interpret=True)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(ref - got).max()) < 5e-2
+    assert float(jnp.abs(ref - got).mean()) < 5e-3
+
+
+def test_cm_dense_block_tiled_mode(monkeypatch):
+    """Force the row-tiled blocking (big-grid path) and check halo math."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas import dense_block_cm
+
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 32, 16, 64), jnp.float32)
+    m = DenseBlock(64)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    ref = m.apply(v, x, train=False)
+    # small VMEM target → l_img exceeds it → tiled mode with several tiles
+    monkeypatch.setattr(dense_block_cm, "_VMEM_TARGET_BYTES", 300 * 1024)
+    plan = dense_block_cm._plan(32, 16, 64)
+    assert plan["mode"] == "tiled" and plan["rows"] < 32
+    got = dense_block_cm.fused_dense_block_cm(x, v["params"], v["batch_stats"], interpret=True)
+    assert float(jnp.abs(ref - got).max()) < 5e-2
+
+
 def test_fold_bn_math():
     scale = jnp.asarray([2.0]); bias = jnp.asarray([1.0])
     mean = jnp.asarray([0.5]); var = jnp.asarray([4.0])
