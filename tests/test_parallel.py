@@ -98,6 +98,119 @@ def test_data_spatial_mesh_compiles_and_runs():
 
 
 @needs_8
+def test_spatial_sharded_step_matches_single_device():
+    """data×spatial sharding must be numerically a no-op: conv halo exchanges
+    and the sync-BN batch reduction XLA inserts have to reproduce the
+    single-device step (not merely stay finite)."""
+    model = TinyNet()
+    loss_pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [{"name": "mse", "weight": 1.0}]}
+    )
+    step = make_train_step(model, loss_pipe)
+    rng = np.random.RandomState(3)
+    inputs = jnp.asarray(rng.rand(4, 32, 24, 3), jnp.float32)
+    targets = jnp.asarray(rng.rand(4, 32, 24, 3), jnp.float32)
+    key = jax.random.key(5)
+    tx = optax.sgd(0.1)
+
+    state1 = _make_state(model, 32, 24, tx)
+    new1, loss1 = jax.jit(step)(state1, inputs, targets, key)
+
+    m = pmesh.create_mesh({"data": 2, "spatial": 4})  # 8 rows of H per device
+    state8 = pmesh.replicate(_make_state(model, 32, 24, tx), m)
+    inp, tgt = pmesh.shard_batch((inputs, targets), m)
+    new8, loss8 = pmesh.shard_train_step(step, m)(state8, inp, tgt, key)
+
+    assert float(loss8["total"]) == pytest.approx(float(loss1["total"]), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(new1.params), jax.tree.leaves(jax.device_get(new8.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+    # sync-BN: running stats must match the single-device (global-batch) stats
+    for a, b in zip(
+        jax.tree.leaves(new1.batch_stats), jax.tree.leaves(jax.device_get(new8.batch_stats))
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6)
+
+
+def _cdan_state_and_batch(h, w, batch):
+    from multi_degradation_image_enhancement_tpu.models.cdan import CDAN
+
+    model = CDAN()  # f32 on CPU
+    variables = model.init(
+        {"params": jax.random.key(0), "dropout": jax.random.key(1)},
+        jnp.zeros((1, h, w, 3)),
+        train=True,
+    )
+    state = TrainState.create(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=optax.sgd(0.05),
+    )
+    rng = np.random.RandomState(7)
+    inputs = jnp.asarray(rng.rand(batch, h, w, 3), jnp.float32)
+    targets = jnp.asarray(rng.rand(batch, h, w, 3), jnp.float32)
+    return model, state, inputs, targets
+
+
+@needs_8
+@pytest.mark.slow  # two full CDAN compiles — minutes on the 1-core CPU host
+def test_cdan_dp_step_matches_single_device():
+    """The flagship CDAN (BN + dropout + CBAM) under 8-way DP must equal the
+    single-device step — params AND BatchNorm running stats (sync-BN)."""
+    model, state, inputs, targets = _cdan_state_and_batch(16, 24, 8)
+    loss_pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [{"name": "mse", "weight": 1.0}]}
+    )
+    step = make_train_step(model, loss_pipe)
+    key = jax.random.key(11)
+
+    new1, loss1 = jax.jit(step)(state, inputs, targets, key)
+
+    m = pmesh.create_mesh({"data": 8})
+    _, state8, _, _ = _cdan_state_and_batch(16, 24, 8)
+    state8 = pmesh.replicate(state8, m)
+    inp, tgt = pmesh.shard_batch((inputs, targets), m)
+    new8, loss8 = pmesh.shard_train_step(step, m)(state8, inp, tgt, key)
+
+    assert float(loss8["total"]) == pytest.approx(float(loss1["total"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(new1.params), jax.tree.leaves(jax.device_get(new8.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(new1.batch_stats), jax.tree.leaves(jax.device_get(new8.batch_stats))
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+
+@needs_8
+@pytest.mark.slow  # two full CDAN compiles — minutes on the 1-core CPU host
+def test_cdan_spatial_sharded_matches_single_device():
+    """CDAN with image height sharded 4-way: through three maxpools the deepest
+    layer holds ONE row per device, so every 3×3 conv needs halo exchange and
+    every BN a cross-device reduction — all of it must be numerically silent."""
+    model, state, inputs, targets = _cdan_state_and_batch(32, 24, 4)
+    loss_pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [{"name": "mse", "weight": 1.0}]}
+    )
+    step = make_train_step(model, loss_pipe)
+    key = jax.random.key(13)
+
+    new1, loss1 = jax.jit(step)(state, inputs, targets, key)
+
+    m = pmesh.create_mesh({"data": 2, "spatial": 4})
+    _, state8, _, _ = _cdan_state_and_batch(32, 24, 4)
+    state8 = pmesh.replicate(state8, m)
+    inp, tgt = pmesh.shard_batch((inputs, targets), m)
+    new8, loss8 = pmesh.shard_train_step(step, m)(state8, inp, tgt, key)
+
+    assert float(loss8["total"]) == pytest.approx(float(loss1["total"]), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(new1.params), jax.tree.leaves(jax.device_get(new8.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+    for a, b in zip(
+        jax.tree.leaves(new1.batch_stats), jax.tree.leaves(jax.device_get(new8.batch_stats))
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5)
+
+
+@needs_8
 @pytest.mark.slow  # full CDAN compile — minutes on the 1-core CPU host
 def test_graft_dryrun_multichip():
     import __graft_entry__ as graft

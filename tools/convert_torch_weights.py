@@ -66,6 +66,55 @@ def convert_lpips_alex(out_dir: str) -> None:
     print(f"lpips_alex.npz: {len(arrays)} arrays")
 
 
+def convert_lpips_vgg(out_dir: str) -> None:
+    import lpips as lpips_pkg
+
+    model = lpips_pkg.LPIPS(net="vgg")
+    arrays = {}
+    # slices hold torchvision vgg16.features modules in order; conv indices
+    # must match ops/perceptual.VGG16Taps naming (features index).
+    flat = []
+    for s in [model.net.slice1, model.net.slice2, model.net.slice3,
+              model.net.slice4, model.net.slice5]:
+        flat.extend(list(s))
+    for idx, layer in enumerate(flat):
+        if layer.__class__.__name__ == "Conv2d":
+            arrays[f"net/conv_{idx}/kernel"] = _conv(layer.weight)
+            arrays[f"net/conv_{idx}/bias"] = layer.bias.detach().numpy()
+    for k, lin in enumerate(model.lins):
+        w = lin.model[-1].weight.detach().numpy()  # [1, C, 1, 1]
+        arrays[f"lin_{k}"] = w.reshape(w.shape[1], 1)
+    np.savez(os.path.join(out_dir, "lpips_vgg.npz"), **arrays)
+    print(f"lpips_vgg.npz: {len(arrays)} arrays")
+
+
+def convert_lpips_squeeze(out_dir: str) -> None:
+    import lpips as lpips_pkg
+
+    model = lpips_pkg.LPIPS(net="squeeze")
+    arrays = {}
+    flat = []
+    for name in ["slice1", "slice2", "slice3", "slice4", "slice5", "slice6", "slice7"]:
+        flat.extend(list(getattr(model.net, name)))
+    # flat is squeezenet1_1().features in order; name by features index to
+    # match ops/perceptual.SqueezeTaps (conv_0 + fire_{i} submodules).
+    for idx, layer in enumerate(flat):
+        cls = layer.__class__.__name__
+        if cls == "Conv2d":
+            arrays[f"net/conv_{idx}/kernel"] = _conv(layer.weight)
+            arrays[f"net/conv_{idx}/bias"] = layer.bias.detach().numpy()
+        elif cls == "Fire":
+            for sub in ("squeeze", "expand1x1", "expand3x3"):
+                conv = getattr(layer, sub)
+                arrays[f"net/fire_{idx}/{sub}/kernel"] = _conv(conv.weight)
+                arrays[f"net/fire_{idx}/{sub}/bias"] = conv.bias.detach().numpy()
+    for k, lin in enumerate(model.lins):
+        w = lin.model[-1].weight.detach().numpy()
+        arrays[f"lin_{k}"] = w.reshape(w.shape[1], 1)
+    np.savez(os.path.join(out_dir, "lpips_squeeze.npz"), **arrays)
+    print(f"lpips_squeeze.npz: {len(arrays)} arrays")
+
+
 def convert_resnet18(out_dir: str) -> None:
     import torchvision.models as tvm
 
@@ -94,8 +143,9 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="weights_npz")
     ap.add_argument(
-        "--which", nargs="+", default=["vgg19", "lpips_alex", "resnet18"],
-        choices=["vgg19", "lpips_alex", "resnet18"],
+        "--which", nargs="+",
+        default=["vgg19", "lpips_alex", "lpips_vgg", "lpips_squeeze", "resnet18"],
+        choices=["vgg19", "lpips_alex", "lpips_vgg", "lpips_squeeze", "resnet18"],
     )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
@@ -103,5 +153,9 @@ if __name__ == "__main__":
         convert_vgg19(args.out)
     if "lpips_alex" in args.which:
         convert_lpips_alex(args.out)
+    if "lpips_vgg" in args.which:
+        convert_lpips_vgg(args.out)
+    if "lpips_squeeze" in args.which:
+        convert_lpips_squeeze(args.out)
     if "resnet18" in args.which:
         convert_resnet18(args.out)
