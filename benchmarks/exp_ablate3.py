@@ -1,13 +1,17 @@
 #!/usr/bin/env python
-"""Per-DenseBlock in-context ablation of the fused serving forward."""
+"""Ablation of the NON-DenseBlock parts of the fused serving forward.
+
+Each variant swaps one component class for a shape-preserving cheap stand-in
+(timing only, numerics don't matter); the delta vs the full forward is that
+component's honest in-context cost.
+"""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax, jax.numpy as jnp
 from benchmarks.microbench import forced_timeit
-from multi_degradation_image_enhancement_tpu.models.cdan import CDAN, DenseBlock
+from multi_degradation_image_enhancement_tpu.models.cdan import CDAN, _bilinear_x2
 from multi_degradation_image_enhancement_tpu.models import cdan_fast
 from flax import linen as nn
-from multi_degradation_image_enhancement_tpu.models.cdan import _bilinear_x2
 from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import _run_cm, pack_params_cm
 
 B, S = 128, 256
@@ -15,7 +19,6 @@ dtype = jnp.bfloat16
 model = CDAN(dtype=dtype)
 variables = model.init({"params": jax.random.key(0)}, jnp.zeros((1, S, S, 3), jnp.float32), train=False)
 x01 = (jnp.abs(jnp.sin(jnp.arange(B*S*S*3, dtype=jnp.float32)*0.001)).reshape(B,S,S,3))
-
 params = variables["params"]; stats = variables["batch_stats"]
 enc_p, enc_s = params["encoder"], stats["encoder"]
 dec_p, dec_s = params["decoder"], stats["decoder"]
@@ -24,7 +27,7 @@ def timeit(fn, *args, iters=20):
     jfn = jax.jit(fn)
     return forced_timeit(lambda i: jfn(*args), iters) * 1e3
 
-def build(skip=(), xla_db=()):
+def build(up="bilinear", pool="max", conv="full", sig=True):
     folded = {}
     for name in ("conv1","conv2","conv3","conv4"):
         folded[name] = cdan_fast._fold_conv_bn(enc_p[name]["Conv_0"], enc_p[name]["BatchNorm_0"], enc_s[name]["BatchNorm_0"])
@@ -38,47 +41,51 @@ def build(skip=(), xla_db=()):
                  "cbam1": {"params": dec_p["cbam1"], "batch_stats": dec_s["cbam1"]},
                  "cbam2": {"params": dec_p["cbam2"], "batch_stats": dec_s["cbam2"]},
                  "cbam3": {"params": dec_p["cbam3"], "batch_stats": dec_s["cbam3"]}}
-    db_mods = {n: DenseBlock(features=c, dtype=dtype) for n, c in db_cfg.items()}
     def conv_relu(x, name):
         k,b = folded[name]
+        if conv == "1x1":
+            k = k[1:2, 1:2]  # center tap only: same shapes, 1/9 the FLOPs
         return nn.relu(cdan_fast._conv2d(x,k,b,dtype))
     def dense_block(x, name, c_in):
-        if name in skip: return x
-        if name in xla_db:
-            p = (enc_p if name.startswith("dense") else dec_p)[name]
-            s = (enc_s if name.startswith("dense") else dec_s)[name]
-            return db_mods[name].apply({"params": p, "batch_stats": s}, x, train=False)
         out_cm = _run_cm(x, db_packed[name], c_in=c_in, interpret=False)
         bsz,_,hw = out_cm.shape; h,w = x.shape[1], x.shape[2]
         return out_cm[:, :c_in, :].transpose(0,2,1).reshape(bsz,h,w,c_in)
     def cbam(x, name):
         return cbam_mods[name].apply(cbam_vars[name], x, train=False)
+    def upsample(x):
+        if up == "nearest":
+            return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+        return _bilinear_x2(x)
+    def pool_fn(x):
+        if pool == "stride":
+            return x[:, ::2, ::2, :]
+        return nn.max_pool(x,(2,2),strides=(2,2))
     def apply_fn(x):
         x = x.astype(dtype)
-        out = conv_relu(x,"conv1"); out = nn.max_pool(out,(2,2),strides=(2,2))
+        out = conv_relu(x,"conv1"); out = pool_fn(out)
         d1 = dense_block(out,"dense1",64); skip0 = out
-        out = conv_relu(out,"conv2"); out = nn.max_pool(out,(2,2),strides=(2,2))
+        out = conv_relu(out,"conv2"); out = pool_fn(out)
         d2 = dense_block(out,"dense2",128); skip1 = out
-        out = conv_relu(out,"conv3"); out = nn.max_pool(out,(2,2),strides=(2,2))
+        out = conv_relu(out,"conv3"); out = pool_fn(out)
         d3 = dense_block(out,"dense3",256); skip2 = out
         out = conv_relu(out,"conv4"); out = cbam(out,"bottleneck")
         out = conv_relu(out,"de1"); out = out + skip2; out = cbam(out,"cbam1")
-        out = out * d3; out = conv_relu(out,"de2"); out = _bilinear_x2(out); out = out + skip1; out = cbam(out,"cbam2")
-        out = out * d2; out = conv_relu(out,"de3"); out = _bilinear_x2(out); out = out + skip0; out = cbam(out,"cbam3")
-        out = out * d1; out = conv_relu(out,"de4"); out = _bilinear_x2(out); out = out + x
+        out = out * d3; out = conv_relu(out,"de2"); out = upsample(out); out = out + skip1; out = cbam(out,"cbam2")
+        out = out * d2; out = conv_relu(out,"de3"); out = upsample(out); out = out + skip0; out = cbam(out,"cbam3")
+        out = out * d1; out = conv_relu(out,"de4"); out = upsample(out); out = out + x
         out = dense_block(out,"final_dense",3)
-        return jax.nn.sigmoid(out).astype(jnp.float32)
+        if sig:
+            return jax.nn.sigmoid(out).astype(jnp.float32)
+        return out.astype(jnp.float32)
     return apply_fn
 
 full = timeit(build(), x01)
 print(f"full: {full:.2f} ms", flush=True)
-for name in ("dense1","dense2","dense3","final_dense"):
-    t = timeit(build(skip=(name,)), x01)
-    print(f"no_{name}: {t:.2f} ms   (cost {full-t:.2f})", flush=True)
-t = timeit(build(xla_db=("dense1","dense2","dense3","final_dense")), x01)
-print(f"all_xla_db: {t:.2f} ms", flush=True)
-
-t = timeit(build(xla_db=("final_dense",)), x01)
-print(f"xla_final_only: {t:.2f} ms   (final as XLA costs {t-full:.2f} more)", flush=True)
-t = timeit(build(xla_db=("dense1",)), x01)
-print(f"xla_dense1_only: {t:.2f} ms", flush=True)
+for label, kw in [
+    ("nearest_up", dict(up="nearest")),
+    ("stride_pool", dict(pool="stride")),
+    ("convs_1x1", dict(conv="1x1")),
+    ("no_sigmoid", dict(sig=False)),
+]:
+    t = timeit(build(**kw), x01)
+    print(f"{label}: {t:.2f} ms   (delta {full-t:+.2f})", flush=True)

@@ -10,14 +10,19 @@ matmuls leave 7/8 of the MXU idle — the same structural wall XLA sits on
 This kernel transposes the problem.  Features live as ``[C, P]`` — channels
 on the 8/16-deep *sublane* axis, flattened pixels on the 128-lane axis:
 
-* the growth conv becomes ``A[48, 3C] @ X[3C, P]``: the 16 output channels
-  (×3 dy taps = 48) ride the matmul's M axis, which merely streams through
-  the systolic array — small M costs nothing, unlike small N.  K = 3C is
-  tap-stacked (dx ∈ {-1,0,+1} shifted copies), so the contraction is wide;
+* the growth conv becomes three ``A_dx[48, C] @ X[C, P]`` matmuls (one per
+  dx ∈ {-1,0,+1} tap): the 16 output channels (×3 dy taps = 48) ride the
+  matmul's M axis, which merely streams through the systolic array — small
+  M costs nothing, unlike small N;
 * every elementwise op (BN affine, ReLU, masks) runs on ``[C, P]`` tiles —
   sublane padding wastes at most 16/C instead of 128/C;
-* dx=±1 neighbour taps are 1-lane rotations with image-edge masks; the dy
-  tap reduction is three W-lane rotations of the 48-row matmul output.
+* dx=±1 neighbour taps are 1-lane rotations OF THE MATMUL OUTPUT (rolling
+  the [48, P] result with an image-edge mask is exact — per-lane ops
+  commute with the channel contraction) so no shifted input copies are ever
+  materialised; the dy reduction is three W-lane rotations of the combined
+  48-row output.  A first version staged a ``[3C, P]`` dx tap-stack through
+  scratch instead; at large C its rolls/masks/writes dominated the kernel
+  (VPU-bound), which this formulation removes.
 
 Spatial handling: each image is flattened to ``HW`` lanes with a ``5W`` zero
 halo on both sides (four chained 3×3 convs eat 4·(W+1) lanes of context;
@@ -83,7 +88,7 @@ def _kernel(
 ):
     """refs: (a,b,A,bias)×4 layers, (at,bt,At,biast), out_ref, feats scratch."""
     (a0, b0, A0, p0, a1, b1, A1, p1, a2, b2, A2, p2, a3, b3, A3, p3,
-     at, bt, At, pt, out_ref, feats, taps) = refs
+     at, bt, At, pt, out_ref, feats) = refs
     layers = [(a0, b0, A0, p0), (a1, b1, A1, p1), (a2, b2, A2, p2), (a3, b3, A3, p3)]
 
     L = x_ref.shape[-1]
@@ -96,9 +101,8 @@ def _kernel(
     inside = ((pos >= halo) & (pos < halo + hw)).astype(jnp.float32)
     col = q % w_img
     # Neighbour masks: a ±1 lane rotation crosses a row boundary at the
-    # image's W edges — zero it there (SAME-conv zero padding).
-    # Masks stay f32: Mosaic lane rotation only supports 32-bit data, so the
-    # dx-shifted copies are rolled in f32 before the bf16 cast.
+    # image's W edges — zero it there (SAME-conv zero padding).  Masks stay
+    # f32: Mosaic lane rotation only supports 32-bit data.
     has_next = jnp.where(col == w_img - 1, 0.0, 1.0)
     has_prev = jnp.where(col == 0, 0.0, 1.0)
 
@@ -111,23 +115,26 @@ def _kernel(
     for i in range(NUM_LAYERS):
         a_ref, b_ref, A_ref, bias_ref = layers[i]
         ci = c0p + GROWTH * i
-        v32 = activate(ci, a_ref, b_ref)
-        # dx-major tap stack [3ci, L] staged through scratch: a write forces
-        # the rotated copies back to a common lane-offset layout (Mosaic
-        # cannot concat vectors whose lazy rotation offsets differ).
-        taps[0:ci, :] = (_roll(v32, 1, interpret=interpret) * has_prev).astype(
-            jnp.bfloat16
-        )  # value at p-1
-        taps[ci : 2 * ci, :] = v32.astype(jnp.bfloat16)
-        taps[2 * ci : 3 * ci, :] = (
-            _roll(v32, -1, interpret=interpret) * has_next
-        ).astype(jnp.bfloat16)  # value at p+1
-        u = jax.lax.dot_general(
-            A_ref[:].astype(jnp.bfloat16),
-            taps[0 : 3 * ci, :],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [48, L] — rows are (dy, out_channel)
+        v = activate(ci, a_ref, b_ref).astype(jnp.bfloat16)
+        # One matmul per dx tap against the UNSHIFTED activations, dx applied
+        # as a ±1 lane roll of the [48, L] result.  Rolling after the matmul
+        # is exact (the roll/mask are per-lane and commute with the channel
+        # contraction) and replaces the old [3ci, L] tap-stack scratch: the
+        # per-layer VPU traffic drops from ~8·ci row-ops (2 f32 rolls + 2
+        # masks on [ci,L] + three [ci,L] bf16 scratch writes) to ~2·48 + 2·48
+        # rolls/masks on the matmul output — the kernel's hot cost at large
+        # ci.  A's column blocks are the dx∈{-1,0,+1} taps (pack_params_cm).
+        def tap(dx_block):
+            return jax.lax.dot_general(
+                A_ref[:, dx_block * ci : (dx_block + 1) * ci],
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [48, L] — rows are (dy, out_channel)
+
+        u = tap(1)
+        u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
+        u = u + _roll(tap(2), -1, interpret=interpret) * has_next
         g = (
             _roll(u[0:GROWTH, :], w_img, interpret=interpret)
             + u[GROWTH : 2 * GROWTH, :]
@@ -153,9 +160,9 @@ def _plan(h_img: int, w_img: int, c0p: int):
     halo = HALO_ROWS * w_img
     l_img = hw + 2 * halo
     c_total = c0p + NUM_LAYERS * GROWTH
-    # bytes/lane: feats (bf16) + tap-stack ×2 transients (bf16) + U (f32)
+    # bytes/lane: feats (bf16) + ~4 live [48,L] f32 matmul/roll transients
     # + double-buffered input block (bf16)
-    bytes_per_lane = 2 * c_total + 2 * 3 * (c_total - GROWTH) * 2 + 4 * 48 + 2 * 2 * c0p
+    bytes_per_lane = 2 * c_total + 4 * 4 * 48 + 2 * 2 * c0p
     l_max = _VMEM_TARGET_BYTES // bytes_per_lane
     if l_img <= l_max:
         return {"mode": "packed", "n_max": max(l_max // l_img, 1)}
@@ -296,7 +303,6 @@ def _run_cm(x: jax.Array, packed: Dict[str, jax.Array], *, c_in: int, interpret:
         out_shape=jax.ShapeDtypeStruct(out_shape, x.dtype),
         scratch_shapes=[
             pltpu.VMEM((c_total, l_block), jnp.bfloat16),
-            pltpu.VMEM((3 * (c_total - GROWTH), l_block), jnp.bfloat16),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -78,13 +78,22 @@ def main() -> None:
     }
     clf_vars = load_checkpoint(args.classifier, host_template)
 
+    # Threshold priority: the classifier run's own tuned thresholds_val.json
+    # → the packaged defaults tuned on the shipped synthetic quality run
+    # (config/classifier_thresholds.json) → flat 0.5.
     thresholds = [0.5] * len(classes)
+    packaged = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "multi_degradation_image_enhancement_tpu", "config",
+        "classifier_thresholds.json",
+    )
     thr_path = os.path.join(os.path.dirname(args.classifier), "thresholds_val.json")
-    if os.path.exists(thr_path):
-        with open(thr_path, encoding="utf-8") as f:
-            report = json.load(f)
-        thresholds = [report["thresholds"].get(c, 0.5) for c in classes]
-        print(f"[pipeline] tuned thresholds from {thr_path}")
+    for path in (packaged, thr_path):
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                report = json.load(f)
+            thresholds = [report["thresholds"].get(c, 0.5) for c in classes]
+            print(f"[pipeline] tuned thresholds from {path}")
 
     # ---- expert bank ----
     weight_paths = {}
