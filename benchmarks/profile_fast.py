@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""In-context ablation profile of the fused serving path (cdan_fast).
+
+Times the FULL jitted degrade→restore step, then variants with pieces
+replaced by identity, so each cost is measured in context (XLA fusion
+intact) rather than standalone.  Forced-execution timing throughout
+(see PERF.md — block_until_ready is unreliable on this backend).
+
+Usage: python benchmarks/profile_fast.py [--batch 128] [--size 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from benchmarks.microbench import forced_timeit
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=15)
+    args = ap.parse_args()
+    B, S = args.batch, args.size
+    dtype = jnp.bfloat16
+
+    from flax import linen as nn
+
+    from multi_degradation_image_enhancement_tpu.models import cdan_fast
+    from multi_degradation_image_enhancement_tpu.models.cdan import CDAN, _bilinear_x2
+    from multi_degradation_image_enhancement_tpu.ops.degradations import apply_degradation
+    from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import _run_cm
+
+    model = CDAN(dtype=dtype)
+    variables = model.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, S, S, 3), jnp.float32), train=False
+    )
+
+    clean = (
+        jnp.abs(jnp.sin(jnp.arange(B * S * S * 3, dtype=jnp.float32) * 0.001))
+        .reshape(B, S, S, 3)
+        * 255.0
+    )
+    key = jax.random.key(0)
+
+    def timed(name: str, fn: Callable[[jax.Array, jax.Array], jax.Array]):
+        jfn = jax.jit(fn)
+        dt = forced_timeit(lambda i: jfn(clean, jax.random.fold_in(key, i)), args.iters)
+        print(f"{name:42s} {dt*1e3:8.2f} ms   {B/dt:8.0f} img/s")
+        return dt
+
+    # -- knobs: monkeypatchable identity stubs ------------------------------
+    real_dense_block = None  # captured from a fresh build each time
+
+    def build(
+        db_mode: str = "real",  # real | skip | kernel_only | xla
+        cbam_on: bool = True,
+        convs_on: bool = True,
+        ups_on: bool = True,
+        degrade_on: bool = True,
+    ):
+        apply_fn = cdan_fast.build_fast_apply(variables, dtype)
+        # rebuild a closure-patched variant by shadowing module functions is
+        # invasive; instead reimplement the step with the pieces we need via
+        # the public builder for "real" and hand-rolled variants otherwise.
+        def step(c255, k):
+            x = apply_degradation("noise", c255, k) / 255.0 if degrade_on else c255 / 255.0
+            return apply_fn(x)
+
+        return step
+
+    t_full = timed("full fused step", build())
+    timed("forward only (no degrade)", build(degrade_on=False))
+
+    # Standalone degradation
+    def deg_only(c255, k):
+        return apply_degradation("noise", c255, k) / 255.0
+
+    timed("degrade only", deg_only)
+
+    # --- hand-rolled variant: fast path with DBs skipped -------------------
+    params = variables["params"]
+    stats = variables["batch_stats"]
+
+    def build_variant(db: str = "real", cbam_on: bool = True, ups: str = "real"):
+        # reuse internals from cdan_fast by rebuilding its closures
+        fa = cdan_fast.build_fast_apply(variables, dtype)
+        # introspection-free approach: copy of apply_fn with switches
+        from multi_degradation_image_enhancement_tpu.models.cbam import CBAM
+
+        enc_p, enc_s = params["encoder"], stats["encoder"]
+        dec_p, dec_s = params["decoder"], stats["decoder"]
+        folded = {}
+        for name in ("conv1", "conv2", "conv3", "conv4"):
+            folded[name] = cdan_fast._fold_conv_bn(
+                enc_p[name]["Conv_0"], enc_p[name]["BatchNorm_0"], enc_s[name]["BatchNorm_0"]
+            )
+        for name in ("de1", "de2", "de3", "de4"):
+            folded[name] = cdan_fast._fold_conv_bn(
+                dec_p[f"{name}_conv"], dec_p[f"{name}_bn"], dec_s[f"{name}_bn"]
+            )
+        from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import (
+            pack_params_cm,
+        )
+
+        db_cfg = {"dense1": 64, "dense2": 128, "dense3": 256, "final_dense": 3}
+        db_packed = {
+            name: pack_params_cm(
+                (enc_p if name.startswith("dense") else dec_p)[name],
+                (enc_s if name.startswith("dense") else dec_s)[name],
+                c_in,
+            )
+            for name, c_in in db_cfg.items()
+        }
+        cbam_mods = {
+            "bottleneck": CBAM(512, dtype=dtype),
+            "cbam1": CBAM(256, dtype=dtype),
+            "cbam2": CBAM(128, dtype=dtype),
+            "cbam3": CBAM(64, dtype=dtype),
+        }
+        cbam_vars = {
+            "bottleneck": {"params": params["bottleneck"], "batch_stats": stats["bottleneck"]},
+            "cbam1": {"params": dec_p["cbam1"], "batch_stats": dec_s["cbam1"]},
+            "cbam2": {"params": dec_p["cbam2"], "batch_stats": dec_s["cbam2"]},
+            "cbam3": {"params": dec_p["cbam3"], "batch_stats": dec_s["cbam3"]},
+        }
+
+        def conv_relu(x, name):
+            k, b = folded[name]
+            return nn.relu(cdan_fast._conv2d(x, k, b, dtype))
+
+        def dense_block(x, name, c_in):
+            if db == "skip":
+                return x  # identity (final_dense is also channel-preserving)
+            out_cm = _run_cm(x, db_packed[name], c_in=c_in, interpret=False)
+            c_out = c_in
+            bsz, _, hw = out_cm.shape
+            h, w = x.shape[1], x.shape[2]
+            return out_cm[:, :c_out, :].transpose(0, 2, 1).reshape(bsz, h, w, c_out)
+
+        def cbam(x, name):
+            if not cbam_on:
+                return x
+            return cbam_mods[name].apply(cbam_vars[name], x, train=False)
+
+        def upsample(x):
+            if ups == "real":
+                return _bilinear_x2(x)
+            return jax.image.resize(
+                x, (x.shape[0], x.shape[1] * 2, x.shape[2] * 2, x.shape[3]), "nearest"
+            )
+
+        def apply_fn(x):
+            x = x.astype(dtype)
+            out = conv_relu(x, "conv1")
+            out = nn.max_pool(out, (2, 2), strides=(2, 2))
+            d1 = dense_block(out, "dense1", 64)
+            skip0 = out
+            out = conv_relu(out, "conv2")
+            out = nn.max_pool(out, (2, 2), strides=(2, 2))
+            d2 = dense_block(out, "dense2", 128)
+            skip1 = out
+            out = conv_relu(out, "conv3")
+            out = nn.max_pool(out, (2, 2), strides=(2, 2))
+            d3 = dense_block(out, "dense3", 256)
+            skip2 = out
+            out = conv_relu(out, "conv4")
+            out = cbam(out, "bottleneck")
+            out = conv_relu(out, "de1")
+            out = out + skip2
+            out = cbam(out, "cbam1")
+            out = out * d3
+            out = conv_relu(out, "de2")
+            out = upsample(out)
+            out = out + skip1
+            out = cbam(out, "cbam2")
+            out = out * d2
+            out = conv_relu(out, "de3")
+            out = upsample(out)
+            out = out + skip0
+            out = cbam(out, "cbam3")
+            out = out * d1
+            out = conv_relu(out, "de4")
+            out = upsample(out)
+            out = out + x
+            out = dense_block(out, "final_dense", 3)
+            return jax.nn.sigmoid(out).astype(jnp.float32)
+
+        def step(c255, k):
+            return apply_fn(apply_degradation("noise", c255, k) / 255.0)
+
+        return step
+
+    timed("variant: real (sanity)", build_variant())
+    timed("variant: DBs -> identity", build_variant(db="skip"))
+    timed("variant: no CBAM", build_variant(cbam_on=False))
+    timed("variant: nearest upsample", build_variant(ups="nearest"))
+    timed("variant: DBs off + CBAM off", build_variant(db="skip", cbam_on=False))
+
+
+if __name__ == "__main__":
+    main()
