@@ -38,19 +38,19 @@ def forced(fn, *args, iters=20):
 
 
 def kernel_rhsT(x_ref, i_ref, o_ref):
-    # x: [P, C] row-major; I: [C, C]; out: [C, P]
-    o_ref[:] = jax.lax.dot_general(
+    # x: [1, P, C] row-major; I: [C, C]; out: [1, C, P]
+    o_ref[0] = jax.lax.dot_general(
         i_ref[:],
-        x_ref[:],
+        x_ref[0],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(o_ref.dtype)
 
 
 def kernel_lhsT(x_ref, i_ref, o_ref):
-    # x: [C, P] channel-major; I: [C, C]; out: [P, C]
-    o_ref[:] = jax.lax.dot_general(
-        x_ref[:],
+    # x: [1, C, P] channel-major; I: [C, C]; out: [1, P, C]
+    o_ref[0] = jax.lax.dot_general(
+        x_ref[0],
         i_ref[:],
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -58,7 +58,7 @@ def kernel_lhsT(x_ref, i_ref, o_ref):
 
 
 def kernel_jnpT(x_ref, o_ref):
-    o_ref[:] = x_ref[:].T
+    o_ref[0] = x_ref[0].T
 
 
 def main():

@@ -79,9 +79,6 @@ def main() -> None:
 
         return step
 
-    t_full = timed("full fused step", build())
-    timed("forward only (no degrade)", build(degrade_on=False))
-
     # Standalone degradation
     def deg_only(c255, k):
         return apply_degradation("noise", c255, k) / 255.0

@@ -54,11 +54,19 @@ class DeviceDataLoader:
         transform = dataset.transform
         paired = getattr(dataset, "paired", True)
 
+        # All host→device tensors travel channel-second ([..,3,H,W] u8): a
+        # u8 NHWC buffer tile-pads its 3-channel minor dim 128/3 ≈ 42× in
+        # HBM (the round-1 OOM at batch 512 — PERF.md), while [..,3,H,W]
+        # pads nothing.  The NHWC layout the compute wants is restored by an
+        # in-jit transpose that XLA fuses with the f32 cast.
+        def _to_nhwc(chw_u8: jax.Array) -> jax.Array:
+            return chw_u8.transpose(0, 2, 3, 1).astype(jnp.float32)
+
         if degrade_name is not None:
 
             @jax.jit
-            def pipeline(clean_u8: jax.Array, key: jax.Array):
-                clean = clean_u8.astype(jnp.float32)
+            def pipeline(clean_u8_chw: jax.Array, key: jax.Array):
+                clean = _to_nhwc(clean_u8_chw)
                 k_deg, k_aug = jax.random.split(key)
                 degraded = apply_degradation(degrade_name, clean, k_deg)
                 return transform.apply_paired(degraded, clean, k_aug)
@@ -66,16 +74,16 @@ class DeviceDataLoader:
         elif paired:
 
             @jax.jit
-            def pipeline(stacked_u8: jax.Array, key: jax.Array):
-                inp = stacked_u8[0].astype(jnp.float32)
-                tgt = stacked_u8[1].astype(jnp.float32)
+            def pipeline(stacked_u8_chw: jax.Array, key: jax.Array):
+                inp = _to_nhwc(stacked_u8_chw[0])
+                tgt = _to_nhwc(stacked_u8_chw[1])
                 return transform.apply_paired(inp, tgt, key)
 
         else:
 
             @jax.jit
-            def pipeline(inp_u8: jax.Array, key: jax.Array):
-                return transform(inp_u8.astype(jnp.float32), key)
+            def pipeline(inp_u8_chw: jax.Array, key: jax.Array):
+                return transform(_to_nhwc(inp_u8_chw), key)
 
         self._pipeline = pipeline
         self._mode = "degrade" if degrade_name is not None else ("paired" if paired else "single")
@@ -86,7 +94,10 @@ class DeviceDataLoader:
         # training throughput).
         self._clean_dev = None
         if self._mode == "degrade" and getattr(dataset, "_clean", None) is not None:
-            self._clean_dev = jnp.asarray(dataset._clean)
+            # [N,3,H,W] u8: unpadded in HBM (NHWC u8 would cost 42× — above).
+            self._clean_dev = jnp.asarray(
+                np.ascontiguousarray(np.transpose(dataset._clean, (0, 3, 1, 2)))
+            )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -151,7 +162,13 @@ class DeviceDataLoader:
 
         def producer():
             for bi, idxs in enumerate(batches):
-                q.put((bi, self._host_batch(idxs)))
+                host = self._host_batch(idxs)
+                # channel-second for the H2D copy (overlapped with device
+                # compute by this prefetch thread); see pipeline note above.
+                host = np.ascontiguousarray(
+                    np.moveaxis(host, -1, -3)
+                )
+                q.put((bi, host))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

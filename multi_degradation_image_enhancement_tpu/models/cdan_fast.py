@@ -31,6 +31,8 @@ from multi_degradation_image_enhancement_tpu.models.cdan import _bilinear_x2
 from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block import fold_bn
 from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import (
     _run_cm,
+    _run_cm2,
+    cm2_supported,
     pack_params_cm,
 )
 
@@ -109,10 +111,19 @@ def build_fast_apply(
         return nn.relu(_conv2d(x, k, b, dtype))
 
     def dense_block(x, name, c_in):
-        out_cm = _run_cm(x, db_packed[name], c_in=c_in, interpret=interpret)
         c_out = c_in  # every CDAN DenseBlock is channel-preserving
-        bsz, _, hw = out_cm.shape
-        h, w = x.shape[1], x.shape[2]
+        bsz, h, w = x.shape[0], x.shape[1], x.shape[2]
+        if cm2_supported(h, w, c_in, c_out):
+            # Fused-I/O path: one bandwidth-speed transpose each way; halo
+            # packing and interior extraction live inside the kernel.
+            xcm = x.transpose(0, 3, 1, 2).reshape(bsz, c_in, h * w)
+            out_cm = _run_cm2(
+                xcm, db_packed[name], c_in=c_in, hw_shape=(h, w), interpret=interpret
+            )
+            return (
+                out_cm[:, :c_out, :].reshape(bsz, c_out, h, w).transpose(0, 2, 3, 1)
+            )
+        out_cm = _run_cm(x, db_packed[name], c_in=c_in, interpret=interpret)
         return out_cm[:, :c_out, :].transpose(0, 2, 1).reshape(bsz, h, w, c_out)
 
     def cbam(x, name):

@@ -315,6 +315,170 @@ def _run_cm(x: jax.Array, packed: Dict[str, jax.Array], *, c_in: int, interpret:
     return out
 
 
+def _kernel2(
+    x_ref,  # [n, c_in, HW] channel-major, no halos
+    *refs,
+    c_in: int,
+    c0p: int,
+    w_img: int,
+    halo: int,
+    hw: int,
+    l_img: int,
+    n_img: int,
+    out_dtype,
+    interpret: bool,
+):
+    """Fused-I/O variant: halo packing and interior extraction happen here.
+
+    The v1 kernel required the caller to pre-pad, pre-pack and post-slice in
+    XLA — ~6 HBM bandwidth passes per DenseBlock in context.  Here the
+    operand is the natural channel-major tensor and the only XLA glue left
+    is one transpose on each side (measured at bandwidth).
+    """
+    (a0, b0, A0, p0, a1, b1, A1, p1, a2, b2, A2, p2, a3, b3, A3, p3,
+     at, bt, At, pt, out_ref, feats) = refs
+    layers = [(a0, b0, A0, p0), (a1, b1, A1, p1), (a2, b2, A2, p2), (a3, b3, A3, p3)]
+
+    L = n_img * l_img
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    pos = q % l_img
+    inside = ((pos >= halo) & (pos < halo + hw)).astype(jnp.float32)
+    col = q % w_img
+    has_next = jnp.where(col == w_img - 1, 0.0, 1.0)
+    has_prev = jnp.where(col == 0, 0.0, 1.0)
+
+    # Build the halo'd channel-major input in VMEM: zero the x rows once,
+    # then drop each image's interior into its slot.
+    feats[0:c0p, :] = jnp.zeros((c0p, L), jnp.bfloat16)
+    for j in range(n_img):
+        feats[0:c_in, j * l_img + halo : j * l_img + halo + hw] = x_ref[j].astype(
+            jnp.bfloat16
+        )
+
+    def activate(rows, a_ref, b_ref):
+        f = feats[0:rows, :].astype(jnp.float32)
+        return jnp.maximum(f * a_ref[:] + b_ref[:], 0.0) * inside
+
+    for i in range(NUM_LAYERS):
+        a_ref, b_ref, A_ref, bias_ref = layers[i]
+        ci = c0p + GROWTH * i
+        v = activate(ci, a_ref, b_ref).astype(jnp.bfloat16)
+
+        def tap(dx_block):
+            return jax.lax.dot_general(
+                A_ref[:, dx_block * ci : (dx_block + 1) * ci],
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        u = tap(1)
+        u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
+        u = u + _roll(tap(2), -1, interpret=interpret) * has_next
+        g = (
+            _roll(u[0:GROWTH, :], w_img, interpret=interpret)
+            + u[GROWTH : 2 * GROWTH, :]
+            + _roll(u[2 * GROWTH : 3 * GROWTH, :], -w_img, interpret=interpret)
+        )
+        feats[ci : ci + GROWTH, :] = (g + bias_ref[:]).astype(jnp.bfloat16)
+
+    vt = activate(feats.shape[0], at, bt).astype(jnp.bfloat16)
+    ot = jax.lax.dot_general(
+        At[:].astype(jnp.bfloat16),
+        vt,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + pt[:]
+    ot = ot.astype(out_dtype)
+    for j in range(n_img):
+        out_ref[j, :, :] = ot[:, j * l_img + halo : j * l_img + halo + hw]
+
+
+@functools.partial(jax.jit, static_argnames=("c_in", "hw_shape", "interpret"))
+def _run_cm2(
+    x_cm: jax.Array,
+    packed: Dict[str, jax.Array],
+    *,
+    c_in: int,
+    hw_shape: Tuple[int, int],
+    interpret: bool,
+):
+    """Fused-I/O channel-major DenseBlock: ``[B, c_in, H*W] -> [B, c_outp, H*W]``.
+
+    Requires the packed plan to fit whole images (the common case for CDAN's
+    grids at the 64 MiB VMEM target — check :func:`cm2_supported`); callers
+    fall back to :func:`_run_cm` (tiled mode) otherwise.
+    """
+    b, _, hw = x_cm.shape
+    h_img, w_img = hw_shape
+    assert h_img * w_img == hw
+    halo = HALO_ROWS * w_img
+    l_img = hw + 2 * halo
+    c0p = _ceil16(c_in)
+    c_outp = packed["At"].shape[0]
+    c_total = c0p + NUM_LAYERS * GROWTH
+
+    # VMEM accounting: feats (bf16) + ~3 live [48,L] f32 transients per lane,
+    # plus the in/out blocks (hw lanes per image).
+    bytes_per_lane = 2 * c_total + 3 * 4 * 48 + (2 * c_in + 2 * c_outp) * hw // l_img
+    l_max = _VMEM_TARGET_BYTES // bytes_per_lane
+    if l_img > l_max:
+        raise ValueError("image too large for fused-I/O packed mode")
+    n = 1
+    for cand in range(min(l_max // l_img, b), 0, -1):
+        if b % cand == 0:
+            n = cand
+            break
+    g = b // n
+
+    names = [f"{nm}{i}" for i in range(NUM_LAYERS) for nm in ("a", "b", "A", "bias")]
+    names += ["at", "bt", "At", "biast"]
+    const = lambda i: (0, 0)
+    in_specs = [
+        pl.BlockSpec((n, c_in, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    ]
+    args: List[jax.Array] = []
+    for nm in names:
+        args.append(packed[nm])
+        in_specs.append(pl.BlockSpec(packed[nm].shape, const, memory_space=pltpu.VMEM))
+
+    kernel = functools.partial(
+        _kernel2,
+        c_in=c_in,
+        c0p=c0p,
+        w_img=w_img,
+        halo=halo,
+        hw=hw,
+        l_img=l_img,
+        n_img=n,
+        out_dtype=x_cm.dtype,
+        interpret=interpret,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((n, c_outp, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c_outp, hw), x_cm.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((c_total, n * l_img), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_cm, *args)
+    return out
+
+
+def cm2_supported(h_img: int, w_img: int, c_in: int, c_out: int) -> bool:
+    """Whether the fused-I/O packed path fits this grid at the VMEM target."""
+    hw = h_img * w_img
+    l_img = hw + 2 * HALO_ROWS * w_img
+    c0p = _ceil16(c_in)
+    c_total = c0p + NUM_LAYERS * GROWTH
+    bytes_per_lane = 2 * c_total + 3 * 4 * 48 + (2 * c_in + 2 * _ceil16(c_out)) * hw // l_img
+    return l_img <= _VMEM_TARGET_BYTES // bytes_per_lane
+
+
 def fused_dense_block_cm(
     x: jax.Array,
     params: Dict[str, Any],
