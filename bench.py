@@ -81,7 +81,7 @@ def main() -> None:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     if on_tpu:
-        candidates = [64, 128]
+        candidates = [128, 256]
         iters = 20
     else:  # smoke mode on CPU
         candidates = [2]
