@@ -46,6 +46,7 @@ def forced_timeit(step: Callable[[int], jax.Array], iters: int = 20) -> float:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--remat", action="store_true", help="rematerialized train step")
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument(
@@ -94,7 +95,7 @@ def main() -> None:
                 {"name": "ssim", "weight": 0.5},
             ]}
         )
-        step = jax.jit(make_train_step(model, loss_pipe))
+        step = jax.jit(make_train_step(model, loss_pipe, remat=args.remat))
         deg01 = apply_degradation("noise", clean, key) / 255.0
 
         holder = {"state": state}
