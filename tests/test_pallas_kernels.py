@@ -111,6 +111,39 @@ def test_cm_dense_block_tiled_mode(monkeypatch):
     assert float(jnp.abs(ref - got).max()) < 5e-2
 
 
+@pytest.mark.parametrize("c_in,c_out,h,w,relu", [
+    (64, 128, 16, 24, True),
+    (128, 64, 16, 24, True),
+    (16, 3, 32, 16, False),
+])
+def test_conv3x3_cm_matches_lax(c_in, c_out, h, w, relu):
+    """Channel-major fused conv kernel vs lax.conv_general_dilated."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas.conv_cm import (
+        conv3x3_cm,
+        conv_supported,
+        pack_conv,
+    )
+
+    assert conv_supported(h, w, c_in, c_out)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, h, w, c_in) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, c_in, c_out) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(c_out) * 0.1, jnp.float32)
+
+    ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    if relu:
+        ref = jnp.maximum(ref, 0.0)
+
+    xcm = x.transpose(0, 3, 1, 2).reshape(2, c_in, h * w)
+    out = conv3x3_cm(xcm, pack_conv(k, b), hw_shape=(h, w), relu=relu, interpret=True)
+    got = out[:, :c_out, :].reshape(2, c_out, h, w).transpose(0, 2, 3, 1)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(ref - got).max()) < 5e-2
+    assert float(jnp.abs(ref - got).mean()) < 5e-3
+
+
 def test_fold_bn_math():
     scale = jnp.asarray([2.0]); bias = jnp.asarray([1.0])
     mean = jnp.asarray([0.5]); var = jnp.asarray([4.0])
