@@ -69,6 +69,14 @@ def make_train_step(network, loss_pipe, remat: bool = False):
     larger per-chip batches.
     """
 
+    if remat and hasattr(network, "remat"):
+        # Per-block rematerialization inside the model (nn.checkpoint around
+        # every ConvBlock/DenseBlock/CBAM) — this is what actually lowers
+        # peak activation memory.  Parameter tree is unchanged.
+        import dataclasses
+
+        network = dataclasses.replace(network, remat=True)
+
     def forward(params, batch_stats, inputs, dropout_key):
         return network.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -78,7 +86,9 @@ def make_train_step(network, loss_pipe, remat: bool = False):
             rngs={"dropout": dropout_key},
         )
 
-    if remat:
+    if remat and not hasattr(network, "remat"):
+        # Fallback for networks without a remat switch: whole-forward
+        # checkpoint (weaker — saves only cross-boundary residuals).
         forward = jax.checkpoint(forward)
 
     def step(state: TrainState, inputs, targets, dropout_key):

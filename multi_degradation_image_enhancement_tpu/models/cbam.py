@@ -140,7 +140,7 @@ class CBAM(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = ChannelGate(
             self.gate_channels, self.reduction_ratio, self.pool_types, dtype=self.dtype
         )(x)

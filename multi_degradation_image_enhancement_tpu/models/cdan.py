@@ -56,7 +56,7 @@ class ConvBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=jnp.float32 if train else self.dtype)(x)
@@ -83,7 +83,7 @@ class DenseBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         feats = x
         for i in range(self.num_layers):
             h = nn.BatchNorm(
@@ -104,38 +104,57 @@ class DenseBlock(nn.Module):
         return out
 
 
+def _block_classes(remat: bool):
+    """(ConvBlock, DenseBlock, CBAM), per-block rematerialized when asked.
+
+    ``nn.checkpoint`` with ``train`` static (argnum 2 of ``(self, x, train)``)
+    recomputes each block's internals during backward instead of storing
+    them — verified bit-exact against the plain path including BatchNorm
+    mutation and dropout RNG (tests/test_engine.py remat equivalence).
+    """
+    if not remat:
+        return ConvBlock, DenseBlock, CBAM
+    return (
+        nn.checkpoint(ConvBlock, static_argnums=(2,)),
+        nn.checkpoint(DenseBlock, static_argnums=(2,)),
+        nn.checkpoint(CBAM, static_argnums=(2,)),
+    )
+
+
 class Encoder(nn.Module):
     """Reference ``models/cdan.py:55-98``."""
 
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
         self, x: jax.Array, *, train: bool = False
     ) -> Tuple[jax.Array, Tuple[jax.Array, ...], Tuple[jax.Array, ...]]:
+        Conv, Dense, _ = _block_classes(self.remat)
         drop = nn.Dropout(0.2, deterministic=not train)
         skips = []
         denses = []
 
-        out = ConvBlock(64, dtype=self.dtype, name="conv1")(x, train=train)
+        out = Conv(64, dtype=self.dtype, name="conv1")(x, train)
         out = nn.max_pool(out, (2, 2), strides=(2, 2))
-        denses.append(DenseBlock(64, dtype=self.dtype, name="dense1")(out, train=train))
+        denses.append(Dense(64, dtype=self.dtype, name="dense1")(out, train))
         out = drop(out)
         skips.append(out)
 
-        out = ConvBlock(128, dtype=self.dtype, name="conv2")(out, train=train)
+        out = Conv(128, dtype=self.dtype, name="conv2")(out, train)
         out = nn.max_pool(out, (2, 2), strides=(2, 2))
-        denses.append(DenseBlock(128, dtype=self.dtype, name="dense2")(out, train=train))
+        denses.append(Dense(128, dtype=self.dtype, name="dense2")(out, train))
         out = drop(out)
         skips.append(out)
 
-        out = ConvBlock(256, dtype=self.dtype, name="conv3")(out, train=train)
+        out = Conv(256, dtype=self.dtype, name="conv3")(out, train)
         out = nn.max_pool(out, (2, 2), strides=(2, 2))
-        denses.append(DenseBlock(256, dtype=self.dtype, name="dense3")(out, train=train))
+        denses.append(Dense(256, dtype=self.dtype, name="dense3")(out, train))
         out = drop(out)
         skips.append(out)
 
-        out = ConvBlock(512, dtype=self.dtype, name="conv4")(out, train=train)
+        out = Conv(512, dtype=self.dtype, name="conv4")(out, train)
         out = drop(out)
 
         return out, tuple(skips), tuple(denses)
@@ -150,6 +169,7 @@ class Decoder(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -161,6 +181,8 @@ class Decoder(nn.Module):
         *,
         train: bool = False,
     ) -> jax.Array:
+        _, Dense, Cbam = _block_classes(self.remat)
+
         def deconv_bn_relu(h, feats, name):
             h = nn.Conv(feats, (3, 3), padding="SAME", dtype=self.dtype, name=f"{name}_conv")(h)
             h = nn.BatchNorm(
@@ -170,38 +192,51 @@ class Decoder(nn.Module):
 
         out = deconv_bn_relu(out, 256, "de1")
         out = out + skips[2]
-        out = CBAM(256, dtype=self.dtype, name="cbam1")(out, train=train)
+        out = Cbam(256, dtype=self.dtype, name="cbam1")(out, train)
 
         out = out * denses[2]
         out = deconv_bn_relu(out, 128, "de2")
         out = _bilinear_x2(out)
         out = out + skips[1]
-        out = CBAM(128, dtype=self.dtype, name="cbam2")(out, train=train)
+        out = Cbam(128, dtype=self.dtype, name="cbam2")(out, train)
 
         out = out * denses[1]
         out = deconv_bn_relu(out, 64, "de3")
         out = _bilinear_x2(out)
         out = out + skips[0]
-        out = CBAM(64, dtype=self.dtype, name="cbam3")(out, train=train)
+        out = Cbam(64, dtype=self.dtype, name="cbam3")(out, train)
 
         out = out * denses[0]
         out = deconv_bn_relu(out, 3, "de4")
         out = _bilinear_x2(out)
         out = out + x  # global residual (reference cdan.py:154)
 
-        out = DenseBlock(3, dtype=self.dtype, name="final_dense")(out, train=train)
+        out = Dense(3, dtype=self.dtype, name="final_dense")(out, train)
         return jax.nn.sigmoid(out)
 
 
 class CDAN(nn.Module):
-    """CDAN encoder–decoder with CBAM attention (reference ``models/cdan.py:164-176``)."""
+    """CDAN encoder–decoder with CBAM attention (reference ``models/cdan.py:164-176``).
+
+    ``remat=True`` rematerializes every ConvBlock/DenseBlock/CBAM during
+    backward (per-block ``nn.checkpoint``) — the whole-forward checkpoint the
+    engine used before saved nothing at peak (the backward recompute restores
+    all residuals at once); per-block scoping is what actually trades FLOPs
+    for activation memory.
+    """
 
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
-        out, skips, denses = Encoder(dtype=self.dtype, name="encoder")(x, train=train)
-        out = CBAM(512, dtype=self.dtype, name="bottleneck")(out, train=train)
-        out = Decoder(dtype=self.dtype, name="decoder")(x, out, skips, denses, train=train)
+        _, _, Cbam = _block_classes(self.remat)
+        out, skips, denses = Encoder(dtype=self.dtype, remat=self.remat, name="encoder")(
+            x, train=train
+        )
+        out = Cbam(512, dtype=self.dtype, name="bottleneck")(out, train)
+        out = Decoder(dtype=self.dtype, remat=self.remat, name="decoder")(
+            x, out, skips, denses, train=train
+        )
         # Return in the compute dtype's fp32 form for stable losses/metrics.
         return out.astype(jnp.float32)
