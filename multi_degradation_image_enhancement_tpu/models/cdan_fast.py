@@ -132,6 +132,12 @@ def build_fast_apply(
     def apply_fn(x: jax.Array) -> jax.Array:
         x = x.astype(dtype)
 
+        # NOTE: a fused conv1+pool polyphase kernel exists
+        # (ops/pallas/conv_pool_cm.py) and wins standalone (4.88 vs 6.29 ms)
+        # but measured ~2 ms SLOWER end-to-end here — XLA's cross-op fusion
+        # around conv1 (degrade producer, pool consumer) beats the isolated
+        # win, so the XLA chain stays (A/B: benchmarks/exp_conv_pool.py,
+        # integration numbers in PERF.md).
         out = conv_relu(x, "conv1")
         out = nn.max_pool(out, (2, 2), strides=(2, 2))
         d1 = dense_block(out, "dense1", 64)

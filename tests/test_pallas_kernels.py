@@ -144,6 +144,46 @@ def test_conv3x3_cm_matches_lax(c_in, c_out, h, w, relu):
     assert float(jnp.abs(ref - got).mean()) < 5e-3
 
 
+@pytest.mark.parametrize("c_in,c_out,h,w,batch", [
+    (3, 64, 16, 32, 2),
+    (8, 16, 8, 16, 3),
+    (64, 128, 16, 32, 1),
+])
+def test_conv3x3_pool_cm_matches_lax(c_in, c_out, h, w, batch):
+    """Fused conv+BN+ReLU+2×2-maxpool (column-polyphase) vs the XLA chain."""
+    from flax import linen as nn
+
+    from multi_degradation_image_enhancement_tpu.ops.pallas.conv_pool_cm import (
+        conv3x3_pool_cm,
+        conv_pool_supported,
+        deinterleave_cols,
+        pack_conv_pool,
+    )
+
+    assert conv_pool_supported(h, w, c_in, c_out)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(batch, h, w, c_in) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, c_in, c_out) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(c_out) * 0.1, jnp.float32)
+
+    y = jax.lax.conv_general_dilated(
+        x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    ) + b
+    ref = nn.max_pool(jnp.maximum(y, 0.0), (2, 2), strides=(2, 2))
+
+    xcm = x.transpose(0, 3, 1, 2).reshape(batch, c_in, h * w)
+    if c_in % 8:
+        xcm = jnp.pad(xcm, ((0, 0), (0, 8 - c_in % 8), (0, 0)))
+    xd = deinterleave_cols(xcm, (h, w))
+    out = conv3x3_pool_cm(xd, pack_conv_pool(k, b), hw_shape=(h, w), interpret=True)
+    got = (
+        out[:, :c_out, :].reshape(batch, c_out, h // 2, w // 2).transpose(0, 2, 3, 1)
+    )
+    assert got.shape == ref.shape
+    assert float(jnp.abs(ref - got).max()) < 5e-2
+    assert float(jnp.abs(ref - got).mean()) < 5e-3
+
+
 def test_fold_bn_math():
     scale = jnp.asarray([2.0]); bias = jnp.asarray([1.0])
     mean = jnp.asarray([0.5]); var = jnp.asarray([4.0])
