@@ -428,11 +428,14 @@ def _run_cm2(
     # VMEM accounting: feats (bf16) + ~3 live [48,L] f32 transients per lane,
     # plus the in/out blocks (hw lanes per image).
     bytes_per_lane = 2 * c_total + 3 * 4 * 48 + (2 * c_in + 2 * c_outp) * hw // l_img
-    l_max = _VMEM_TARGET_BYTES_V2 // bytes_per_lane
-    if l_img > l_max:
+    # n-packing stays under the conservative 64 MiB budget (larger packs
+    # measured to blow VMEM through register-allocator spill slots); a
+    # single whole image may use the raised v2 ceiling.
+    l_max = _VMEM_TARGET_BYTES // bytes_per_lane
+    if l_img > _VMEM_TARGET_BYTES_V2 // bytes_per_lane:
         raise ValueError("image too large for fused-I/O packed mode")
     n = 1
-    for cand in range(min(l_max // l_img, b), 0, -1):
+    for cand in range(min(max(l_max // l_img, 1), b), 0, -1):
         if b % cand == 0:
             n = cand
             break
