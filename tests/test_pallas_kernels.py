@@ -184,6 +184,31 @@ def test_conv3x3_pool_cm_matches_lax(c_in, c_out, h, w, batch):
     assert float(jnp.abs(ref - got).mean()) < 5e-3
 
 
+def test_cm2_vmem_plan_bounds():
+    """Packing stays under the measured-safe budget; big single images use
+    the raised ceiling (the 96 MiB-packing regression compiled to 156 MB of
+    VMEM via register-spill slots — see PERF.md)."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas import dense_block_cm as cm
+
+    # 256×384 DB(3): only fits the raised single-image ceiling
+    assert cm.cm2_supported(256, 384, 3, 3)
+    hw = 256 * 384
+    l_img = hw + 2 * cm.HALO_ROWS * 384
+    c_total = 16 + cm.NUM_LAYERS * cm.GROWTH
+    bytes_per_lane = 2 * c_total + 3 * 4 * 48 + (2 * 3 + 2 * 16) * hw // l_img
+    assert l_img > cm._VMEM_TARGET_BYTES // bytes_per_lane  # needs the ceiling
+    assert l_img <= cm._VMEM_TARGET_BYTES_V2 // bytes_per_lane
+
+    # 32² DB(256): packing bounded by the conservative budget (n stays small)
+    hw = 32 * 32
+    l_img = hw + 2 * cm.HALO_ROWS * 32
+    c_total = 256 + cm.NUM_LAYERS * cm.GROWTH
+    bytes_per_lane = 2 * c_total + 3 * 4 * 48 + (2 * 256 + 2 * 256) * hw // l_img
+    n_max = (cm._VMEM_TARGET_BYTES // bytes_per_lane) // l_img
+    assert n_max * l_img * bytes_per_lane <= cm._VMEM_TARGET_BYTES
+    assert n_max < 32  # the configuration that blew VMEM
+
+
 def test_fold_bn_math():
     scale = jnp.asarray([2.0]); bias = jnp.asarray([1.0])
     mean = jnp.asarray([0.5]); var = jnp.asarray([4.0])
