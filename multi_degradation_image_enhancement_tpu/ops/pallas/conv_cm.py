@@ -17,7 +17,7 @@ blocking with a 1-row zero halo per side (single conv ⇒ 1-pixel support).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

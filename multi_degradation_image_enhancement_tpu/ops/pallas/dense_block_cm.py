@@ -40,7 +40,7 @@ Reference workload: ``/root/reference/models/cdan.py:22-53`` (DenseBlock).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
