@@ -41,7 +41,7 @@ sys.path.insert(0, REPO)
 from tools.parity.make_clean_images import generate_corpus  # noqa: E402
 
 
-def build_config(data_root: str, epochs: int, batch: int, h: int, w: int) -> dict:
+def build_config(data_root: str, epochs: int, batch: int, h: int, w: int, task: str = "noise") -> dict:
     aug = [
         {"name": "HorizontalFlip", "args": {"p": 0.5}},
         {"name": "VerticalFlip", "args": {"p": 0.2}},
@@ -57,16 +57,16 @@ def build_config(data_root: str, epochs: int, batch: int, h: int, w: int) -> dic
         return {
             "name": ["data.dataset", "PairedDataset"],
             "args": {
-                "input_root": f"{data_root}/noise/{split}/degraded",
-                "target_root": f"{data_root}/noise/{split}/clean",
+                "input_root": f"{data_root}/{task}/{split}/degraded",
+                "target_root": f"{data_root}/{task}/{split}/clean",
                 "pairing_mode": "filename",
                 "transform": {"backend": "albumentations", "ops": ops},
             },
         }
 
     return {
-        "name": "noise_parity",
-        "task": "noise_parity",
+        "name": f"{task}_parity",
+        "task": f"{task}_parity",
         "phase": "train",
         "model": {
             "which_model": {"name": ["models.model", "Model"], "args": {}},
@@ -110,10 +110,10 @@ def build_config(data_root: str, epochs: int, batch: int, h: int, w: int) -> dic
     }
 
 
-def generate_dataset(workdir: str) -> str:
+def generate_dataset(workdir: str, task: str = "noise") -> str:
     clean_dir = os.path.join(workdir, "clean_images")
     data_root = os.path.join(workdir, "paired")
-    if os.path.isdir(os.path.join(data_root, "noise")):
+    if os.path.isdir(os.path.join(data_root, task)):
         print("[parity] dataset exists, skipping generation")
         return data_root
     generate_corpus(clean_dir, n_images=120, seed=7)
@@ -132,13 +132,13 @@ def generate_dataset(workdir: str) -> str:
     mod.CLEAN_DIR = Path(clean_dir)
     mod.OUTPUT_ROOT = Path(data_root)
     mod.GENERATE_ALL = False
-    mod.GENERATE = ["noise"]
+    mod.GENERATE = [task]
     mod.OVERWRITE_EXISTING = True
     mod.main()
     return data_root
 
 
-def run_stack(label: str, runner: str, cwd: str, cfg_path: str, env: dict) -> str:
+def run_stack(label: str, runner: str, cwd: str, cfg_path: str, env: dict, task: str = "noise") -> str:
     os.makedirs(cwd, exist_ok=True)
     for phase in ("train", "test"):
         print(f"[parity] {label}: {phase} ...", flush=True)
@@ -154,7 +154,7 @@ def run_stack(label: str, runner: str, cwd: str, cfg_path: str, env: dict) -> st
             sys.stderr.write(res.stderr[-8000:])
             raise RuntimeError(f"{label} {phase} failed (rc={res.returncode})")
     # newest run dir (the test phase's) — metrics live in its test.jsonl
-    runs = os.path.join(cwd, "runs", "noise_parity")
+    runs = os.path.join(cwd, "runs", f"{task}_parity")
     latest = sorted(os.listdir(runs))[-1]
     return os.path.join(runs, latest)
 
@@ -179,6 +179,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--task", default="noise", help="reference degradation to test")
     ap.add_argument("--fresh", action="store_true")
     args = ap.parse_args()
 
@@ -186,9 +187,9 @@ def main() -> None:
         shutil.rmtree(args.workdir)
     os.makedirs(args.workdir, exist_ok=True)
 
-    data_root = generate_dataset(args.workdir)
-    cfg = build_config(data_root, args.epochs, args.batch, args.height, args.width)
-    cfg_path = os.path.join(args.workdir, "noise_parity.json")
+    data_root = generate_dataset(args.workdir, args.task)
+    cfg = build_config(data_root, args.epochs, args.batch, args.height, args.width, args.task)
+    cfg_path = os.path.join(args.workdir, f"{args.task}_parity.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f, indent=2)
 
@@ -200,7 +201,7 @@ def main() -> None:
     ref_env["OMP_NUM_THREADS"] = str(os.cpu_count() or 8)
     ref_run = run_stack(
         "reference", os.path.join(REFERENCE, "run.py"),
-        os.path.join(args.workdir, "ref"), cfg_path, ref_env,
+        os.path.join(args.workdir, "ref"), cfg_path, ref_env, args.task,
     )
 
     # --- ours (JAX CPU; strip the axon TPU site so JAX_PLATFORMS sticks) ---
@@ -211,7 +212,7 @@ def main() -> None:
     our_env["JAX_PLATFORMS"] = "cpu"
     our_run = run_stack(
         "ours", os.path.join(REPO, "run.py"),
-        os.path.join(args.workdir, "ours"), cfg_path, our_env,
+        os.path.join(args.workdir, "ours"), cfg_path, our_env, args.task,
     )
 
     ref_m = extract_metrics(ref_run)
@@ -221,6 +222,7 @@ def main() -> None:
         "ours": our_m,
         "delta_psnr_db": our_m["psnr"] - ref_m["psnr"],
         "delta_ssim": our_m["ssim"] - ref_m["ssim"],
+        "task": args.task,
         "epochs": args.epochs,
         "resolution": [args.height, args.width],
         "batch": args.batch,
