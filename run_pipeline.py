@@ -16,6 +16,11 @@ warning — images routed to them pass through unrestored.
 
 Thresholds default to the classifier run's tuned ``thresholds_val.json``
 next to the checkpoint when present, else 0.5.
+
+IO is streamed: a producer thread decodes batch i+1 through the native C++
+decoder (``native/mdie_io.cpp``, its own thread pool) while batch i runs on
+the device, and restored PNGs are encoded/written by a background writer
+pool — the device never waits on the filesystem in steady state.
 """
 
 from __future__ import annotations
@@ -40,17 +45,21 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--input-hw", type=int, nargs=2, default=[256, 384])
     ap.add_argument("--save-probs", action="store_true", help="write probs.jsonl")
+    ap.add_argument(
+        "--io-threads", type=int, default=4,
+        help="native decoder threads and PNG writer pool size",
+    )
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from PIL import Image
 
     from multi_degradation_image_enhancement_tpu.classification.model import (
         MultiHeadClassifier,
     )
     from multi_degradation_image_enhancement_tpu.classification.train import load_checkpoint
-    from multi_degradation_image_enhancement_tpu.data.dataset import _list_images, _load_rgb
+    from multi_degradation_image_enhancement_tpu.data.dataset import _list_images
+    from multi_degradation_image_enhancement_tpu.data.streaming import stream_restore
     from multi_degradation_image_enhancement_tpu.models.cdan import CDAN
     from multi_degradation_image_enhancement_tpu.ops.degradations import DEGRADATIONS
     from multi_degradation_image_enhancement_tpu.pipeline import (
@@ -111,30 +120,27 @@ def main() -> None:
     router = RoutedRestorer(network, expert_names, stacked, mode=args.mode)
     pipeline = FullPipeline(clf, clf_vars, router, thresholds, classes=classes)
 
-    # ---- run over the directory ----
+    # ---- run over the directory, streaming (decode-ahead + async writes) ----
     files = _list_images(args.images)
     if not files:
         raise RuntimeError(f"No images in {args.images}")
-    os.makedirs(args.out, exist_ok=True)
-    probs_log = []
 
-    for i in range(0, len(files), args.batch):
-        chunk = files[i : i + args.batch]
-        imgs = np.stack([_load_rgb(os.path.join(args.images, f), hw) for f in chunk])
-        x01 = jnp.asarray(imgs, jnp.float32) / 255.0
+    def run_batch(imgs_u8):
+        x01 = jnp.asarray(imgs_u8, jnp.float32) / 255.0
         restored, probs = pipeline(x01)
+        # one D2H per batch; PNG encode happens on the writer pool
         restored = np.clip(np.asarray(restored) * 255.0, 0, 255).astype(np.uint8)
-        for j, fname in enumerate(chunk):
-            stem = os.path.splitext(fname)[0]
-            Image.fromarray(restored[j]).save(os.path.join(args.out, f"{stem}.png"))
-            if args.save_probs:
-                probs_log.append(
-                    {
-                        "file": fname,
-                        "probs": {n: float(probs[j, k]) for k, n in enumerate(expert_names)},
-                    }
-                )
-        print(f"[pipeline] {min(i+args.batch, len(files))}/{len(files)}")
+        return restored, np.asarray(probs)
+
+    rows = stream_restore(
+        files, args.images, args.out,
+        hw=hw, batch=args.batch, run_batch=run_batch, io_threads=args.io_threads,
+        progress=lambda done, total: print(f"[pipeline] {done}/{total}"),
+    )
+    probs_log = [
+        {"file": fname, "probs": {n: float(p[k]) for k, n in enumerate(expert_names)}}
+        for fname, p in rows
+    ]
 
     if args.save_probs:
         with open(os.path.join(args.out, "probs.jsonl"), "w") as f:
