@@ -49,6 +49,11 @@ def main() -> None:
         "--io-threads", type=int, default=4,
         help="native decoder threads and PNG writer pool size",
     )
+    ap.add_argument(
+        "--expert-mesh", type=int, default=0,
+        help="shard the expert bank over this many devices (expert-parallel "
+        "serving; must divide the number of loaded experts; 0 = replicate)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -117,7 +122,21 @@ def main() -> None:
 
     network = CDAN(dtype=dtype)
     expert_names, stacked = load_expert_bank(network, weight_paths, hw)
-    router = RoutedRestorer(network, expert_names, stacked, mode=args.mode)
+
+    mesh = None
+    if args.expert_mesh > 1:
+        from multi_degradation_image_enhancement_tpu.parallel.mesh import create_mesh
+
+        if len(expert_names) % args.expert_mesh:
+            raise ValueError(
+                f"--expert-mesh {args.expert_mesh} does not divide the "
+                f"{len(expert_names)} loaded experts"
+            )
+        mesh = create_mesh(
+            {"expert": args.expert_mesh}, devices=jax.devices()[: args.expert_mesh]
+        )
+        print(f"[pipeline] expert bank sharded over {args.expert_mesh} devices")
+    router = RoutedRestorer(network, expert_names, stacked, mode=args.mode, mesh=mesh)
     pipeline = FullPipeline(clf, clf_vars, router, thresholds, classes=classes)
 
     # ---- run over the directory, streaming (decode-ahead + async writes) ----
