@@ -1,0 +1,92 @@
+"""End-to-end smoke of the serving CLI (run_pipeline.py) as a subprocess.
+
+Builds the two artifacts the CLI requires — a classifier checkpoint
+(classification/train.py save format) and one engine CDAN weight file
+(engine/checkpoint format, as training writes) — then streams a tiny
+degraded directory through classify → route → restore → PNG out.  Covers
+the plumbing the unit tests can't: argparse contract, checkpoint template
+round-trips, streaming IO wiring, probs.jsonl schema.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import serialization
+from PIL import Image
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+HW = (32, 48)  # multiples of 8 (CDAN pool/upsample structure)
+
+
+@pytest.mark.slow
+def test_serving_cli_end_to_end(tmp_path):
+    from multi_degradation_image_enhancement_tpu.classification.model import (
+        MultiHeadClassifier,
+    )
+    from multi_degradation_image_enhancement_tpu.engine.checkpoint import save_weights
+    from multi_degradation_image_enhancement_tpu.models.cdan import CDAN
+    from multi_degradation_image_enhancement_tpu.ops.degradations import DEGRADATIONS
+
+    img_dir, out_dir, wdir = tmp_path / "deg", tmp_path / "out", tmp_path / "weights"
+    img_dir.mkdir()
+    wdir.mkdir()
+    rng = np.random.RandomState(5)
+    for i in range(3):
+        Image.fromarray(rng.randint(0, 255, (HW[0], HW[1], 3), np.uint8)).save(
+            img_dir / f"im{i}.png"
+        )
+
+    clf = MultiHeadClassifier(num_classes=len(DEGRADATIONS), dtype=jnp.float32)
+    cv = clf.init(
+        {"params": jax.random.key(0)}, jnp.zeros((1, *HW, 3), jnp.float32), train=False
+    )
+    ckpt = tmp_path / "clf.msgpack"
+    ckpt.write_bytes(
+        serialization.to_bytes(
+            {
+                "params": jax.device_get(cv["params"]),
+                "batch_stats": jax.device_get(cv["batch_stats"]),
+            }
+        )
+    )
+    (tmp_path / "clf.msgpack.json").write_text(
+        json.dumps({"classes": list(DEGRADATIONS)})
+    )
+
+    net = CDAN(dtype=jnp.float32)
+    nv = net.init(
+        {"params": jax.random.key(1), "dropout": jax.random.key(2)},
+        jnp.zeros((1, *HW, 3), jnp.float32),
+        train=False,
+    )
+    save_weights(str(wdir / "CDAN_noise.pt"), nv["params"], nv["batch_stats"])
+
+    res = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "run_pipeline.py"),
+            "--images", str(img_dir), "--out", str(out_dir),
+            "--classifier", str(ckpt), "--weights-dir", str(wdir),
+            "--batch", "2", "--input-hw", str(HW[0]), str(HW[1]),
+            "--save-probs", "--io-threads", "2",
+        ],
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+
+    for i in range(3):
+        restored = np.asarray(Image.open(out_dir / f"im{i}.png"))
+        assert restored.shape == (HW[0], HW[1], 3)
+    rows = [
+        json.loads(line)
+        for line in (out_dir / "probs.jsonl").read_text().splitlines()
+    ]
+    assert [r["file"] for r in rows] == ["im0.png", "im1.png", "im2.png"]
+    assert set(rows[0]["probs"]) == {"noise"}  # only the loaded expert
