@@ -428,6 +428,69 @@ class Model(BaseModel):
                 + f" | best: {self.best_loss:.4f}"
             )
 
+        self._maybe_recalibrate_bn()
+
+    # ------------------------------------------------------------------ #
+    # BatchNorm recalibration ("precise BN")
+    # ------------------------------------------------------------------ #
+
+    def _maybe_recalibrate_bn(self):
+        recal = (self.config.get("train", {}) or {}).get("bn_recalibration")
+        if not recal:
+            return
+        passes = int(recal.get("passes", 3)) if isinstance(recal, dict) else 3
+        self.recalibrate_bn(passes=passes)
+
+    def recalibrate_bn(self, passes: int = 3) -> None:
+        """Re-estimate BN running statistics for the served checkpoint.
+
+        The training EMA (momentum 0.9, ~10-step time constant) tracks
+        batch statistics of a *moving* network; the stats stored with the
+        best checkpoint therefore lag its final weights.  This runs
+        ``passes`` frozen-weight, dropout-free forward sweeps over the
+        training data in ``stats_refresh`` mode (batch-stats BN with EMA
+        updates) and rewrites the checkpoint with the re-centered stats.
+        Parameters are untouched.
+
+        Effect is task-dependent (measured on the parity protocol:
+        low_light +4.6 dB test PSNR, noise +0.6, blur −1.1 — PARITY.md),
+        hence opt-in via ``train.bn_recalibration`` (``true`` or
+        ``{"passes": N}``).  The reference has no equivalent.
+        """
+        if not hasattr(self.network, "stats_refresh"):
+            print("[BN-RECAL] network has no stats_refresh mode; skipped")
+            return
+        if self.state is None:
+            for batch in self.dataloader:
+                self.state = self._init_state(batch[0])
+                break
+            if self.state is None:
+                raise RuntimeError("BN recalibration needs a non-empty dataloader")
+
+        path = os.path.join(self.model_path, self.model_name)
+        w = ckpt.load_weights(path, self.state.params, self.state.batch_stats)
+        refresh_net = self.network.clone(stats_refresh=True)
+
+        @jax.jit
+        def refresh(params, batch_stats, inputs):
+            _, upd = refresh_net.apply(
+                {"params": params, "batch_stats": batch_stats},
+                inputs,
+                train=False,
+                mutable=["batch_stats"],
+            )
+            return upd["batch_stats"]
+
+        bs = w["batch_stats"]
+        for _ in range(passes):
+            for batch in self.dataloader:
+                bs = refresh(w["params"], bs, batch[0])
+        self.save_model(w["params"], bs)
+        self._maybe_copy_best_to_run_dir()
+        if self.logging_enabled and self.logger is not None:
+            self.logger.set_summary({"bn_recalibration_passes": int(passes)})
+        print(f"[BN-RECAL] checkpoint stats re-estimated ({passes} passes) -> {path}")
+
     def _maybe_save_epoch_checkpoint(self, epoch_idx_0based: int):
         if not (self.logging_enabled and self.ckpt_enabled and self.logger is not None):
             return

@@ -38,6 +38,7 @@ class BasicConv(nn.Module):
     use_bn: bool = True
     use_relu: bool = True
     dtype: jnp.dtype = jnp.float32
+    stats_refresh: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -49,11 +50,12 @@ class BasicConv(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.use_bn:
+            norm = train or self.stats_refresh
             x = nn.BatchNorm(
-                use_running_average=not train,
+                use_running_average=not norm,
                 momentum=0.99,
                 epsilon=1e-5,
-                dtype=jnp.float32 if train else self.dtype,
+                dtype=jnp.float32 if norm else self.dtype,
             )(x)
         if self.use_relu:
             x = nn.relu(x)
@@ -117,6 +119,7 @@ class SpatialGate(nn.Module):
     """
 
     dtype: jnp.dtype = jnp.float32
+    stats_refresh: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -124,9 +127,10 @@ class SpatialGate(nn.Module):
             [jnp.max(x, axis=-1, keepdims=True), jnp.mean(x, axis=-1, keepdims=True)],
             axis=-1,
         )
-        att = BasicConv(1, 7, use_bn=True, use_relu=False, dtype=self.dtype, name="spatial")(
-            compress, train=train
-        )
+        att = BasicConv(
+            1, 7, use_bn=True, use_relu=False, dtype=self.dtype,
+            stats_refresh=self.stats_refresh, name="spatial",
+        )(compress, train=train)
         return x * jax.nn.sigmoid(att)
 
 
@@ -138,6 +142,7 @@ class CBAM(nn.Module):
     pool_types: Sequence[str] = ("avg", "max")
     no_spatial: bool = False
     dtype: jnp.dtype = jnp.float32
+    stats_refresh: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -145,5 +150,7 @@ class CBAM(nn.Module):
             self.gate_channels, self.reduction_ratio, self.pool_types, dtype=self.dtype
         )(x)
         if not self.no_spatial:
-            x = SpatialGate(dtype=self.dtype)(x, train=train)
+            x = SpatialGate(dtype=self.dtype, stats_refresh=self.stats_refresh)(
+                x, train=train
+            )
         return x

@@ -175,6 +175,10 @@ def make_config(task: str, synthetic: bool) -> dict:
             "n_epoch": 80,
             "lr": 1e-3,
             "precision": "bf16",
+            # Post-training BN stats re-estimation: +4.6 dB test PSNR on the
+            # low_light parity run (PARITY.md); task-dependent, so only the
+            # task it was measured on ships with it enabled.
+            **({"bn_recalibration": {"passes": 3}} if task == "low_light" else {}),
             "dataset": dataset_block("train", True),
             "dataloader": {"args": {"batch_size": 16, "shuffle": True, "num_workers": 4}},
             "model_path": "weights/",
