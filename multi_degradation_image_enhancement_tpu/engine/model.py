@@ -460,9 +460,13 @@ class Model(BaseModel):
         if not hasattr(self.network, "stats_refresh"):
             print("[BN-RECAL] network has no stats_refresh mode; skipped")
             return
+        def batch_inputs(batch):
+            # paired/synthetic loaders yield (inputs, targets); unpaired a bare array
+            return batch[0] if isinstance(batch, (tuple, list)) else batch
+
         if self.state is None:
             for batch in self.dataloader:
-                self.state = self._init_state(batch[0])
+                self.state = self._init_state(batch_inputs(batch))
                 break
             if self.state is None:
                 raise RuntimeError("BN recalibration needs a non-empty dataloader")
@@ -484,7 +488,7 @@ class Model(BaseModel):
         bs = w["batch_stats"]
         for _ in range(passes):
             for batch in self.dataloader:
-                bs = refresh(w["params"], bs, batch[0])
+                bs = refresh(w["params"], bs, batch_inputs(batch))
         self.save_model(w["params"], bs)
         self._maybe_copy_best_to_run_dir()
         if self.logging_enabled and self.logger is not None:
