@@ -28,6 +28,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+from types import SimpleNamespace
 import json
 import os
 import sys
@@ -243,6 +244,9 @@ def parse_args(argv=None):
     p.add_argument("--patience", type=int, default=6)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--no_normalize", action="store_true")
+    p.add_argument("--bn_recal_passes", type=int, default=0,
+                   help="post-training BN stats re-estimation passes over the "
+                        "train split (adopted only if val F1 does not degrade)")
     p.add_argument("--no_pretrained", action="store_true")
     p.add_argument("--diag_topk", type=int, default=24)
     p.add_argument("--input_hw", type=int, nargs=2, default=[256, 384])
@@ -437,6 +441,53 @@ def main(argv=None):
     if os.path.exists(meta_path):
         with open(meta_path, encoding="utf-8") as f:
             ckpt_meta = json.load(f)
+
+    if args.bn_recal_passes > 0:
+        # BN recalibration ("precise BN", as in engine/model.py): the
+        # training EMA tracks batch statistics of a moving network, so the
+        # best checkpoint's stats lag its weights.  The backbone has no
+        # dropout, so frozen-param train-mode sweeps re-center them.
+        # Adopted only if val F1-micro does not degrade — the same val-set
+        # gating early stopping and threshold tuning already use.
+        print(f"\n===== BN RECALIBRATION ({args.bn_recal_passes} passes) =====")
+
+        @jax.jit
+        def _refresh(p, bs, x):
+            _, upd = model.apply(
+                {"params": p, "batch_stats": bs}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return upd["batch_stats"]
+
+        recal_stats = batch_stats
+        for _ in range(args.bn_recal_passes):
+            for x, _y, _s, _paths in train_loader:
+                recal_stats = _refresh(params, recal_stats, x)
+
+        base_va, _, _ = run_epoch(
+            val_loader, classes, thresholds, train=False,
+            params=params, batch_stats=batch_stats, eval_step=eval_step,
+        )
+        recal_va, _, _ = run_epoch(
+            val_loader, classes, thresholds, train=False,
+            params=params, batch_stats=recal_stats, eval_step=eval_step,
+        )
+        print(
+            f"VAL F1micro: stock={base_va['f1_micro']:.4f} "
+            f"recalibrated={recal_va['f1_micro']:.4f}"
+        )
+        if recal_va["f1_micro"] >= base_va["f1_micro"]:
+            batch_stats = recal_stats
+            ckpt_meta["bn_recalibration_passes"] = int(args.bn_recal_passes)
+            ckpt_meta["val_f1_micro_recalibrated"] = float(recal_va["f1_micro"])
+            save_checkpoint(
+                ckpt_path,
+                SimpleNamespace(params=params, batch_stats=batch_stats),
+                ckpt_meta,
+            )
+            print(f"Recalibrated stats adopted -> {ckpt_path}")
+        else:
+            print("Recalibrated stats rejected (val F1 degraded); keeping stock stats")
 
     if args.tune_thresh:
         print("\n===== THRESHOLD TUNING (VAL) =====")

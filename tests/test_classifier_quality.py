@@ -28,6 +28,7 @@ def test_classifier_cli_reaches_f1_floor(tmp_path):
         "--input_hw", "64", "96",
         "--run_dir", str(run_dir),
         "--th_steps", "7",
+        "--bn_recal_passes", "2",
     ])
 
     # artifacts of all four stages
@@ -52,3 +53,8 @@ def test_classifier_cli_reaches_f1_floor(tmp_path):
 
     # tuned thresholds must be consumable by run_pipeline's default lookup
     assert set(thresholds["thresholds"].keys()) == set(summary["classes"])
+
+    # the BN-recalibration stage ran and reported its val A/B (adoption is
+    # conditional on val F1 not degrading, so only the stage is asserted)
+    log = (run_dir / "training.log").read_text()
+    assert "BN RECALIBRATION" in log and "recalibrated=" in log
