@@ -181,6 +181,15 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=192)
     ap.add_argument("--task", default="noise", help="reference degradation to test")
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument(
+        "--stage", default="all", choices=["all", "data", "ref", "ours", "report"],
+        help="run one protocol stage (for background orchestration on a 1-CPU host: "
+        "the torch ref side queues on the CPU while the ours side runs separately)",
+    )
+    ap.add_argument(
+        "--ours-tpu", action="store_true",
+        help="run the ours side on the default JAX backend (TPU) instead of forcing CPU",
+    )
     args = ap.parse_args()
 
     if args.fresh and os.path.isdir(args.workdir):
@@ -192,28 +201,54 @@ def main() -> None:
     cfg_path = os.path.join(args.workdir, f"{args.task}_parity.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f, indent=2)
+    if args.stage == "data":
+        return
 
     base_env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
 
-    # --- reference (torch CPU, dependency shims) ---
-    ref_env = dict(base_env)
-    ref_env["PYTHONPATH"] = os.pathsep.join([STUBS, REFERENCE])
-    ref_env["OMP_NUM_THREADS"] = str(os.cpu_count() or 8)
-    ref_run = run_stack(
-        "reference", os.path.join(REFERENCE, "run.py"),
-        os.path.join(args.workdir, "ref"), cfg_path, ref_env, args.task,
-    )
+    def _mark(name: str, run_dir: str) -> None:
+        with open(os.path.join(args.workdir, f"{name}_run.json"), "w") as f:
+            json.dump({"run_dir": run_dir}, f)
 
-    # --- ours (JAX CPU; strip the axon TPU site so JAX_PLATFORMS sticks) ---
-    our_env = dict(base_env)
-    our_env["PYTHONPATH"] = os.pathsep.join(
-        [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if "axon" not in p]
-    )
-    our_env["JAX_PLATFORMS"] = "cpu"
-    our_run = run_stack(
-        "ours", os.path.join(REPO, "run.py"),
-        os.path.join(args.workdir, "ours"), cfg_path, our_env, args.task,
-    )
+    def _load_mark(name: str) -> str:
+        with open(os.path.join(args.workdir, f"{name}_run.json")) as f:
+            return json.load(f)["run_dir"]
+
+    if args.stage in ("all", "ref"):
+        # --- reference (torch CPU, dependency shims) ---
+        ref_env = dict(base_env)
+        ref_env["PYTHONPATH"] = os.pathsep.join([STUBS, REFERENCE])
+        ref_env["OMP_NUM_THREADS"] = str(os.cpu_count() or 8)
+        ref_run = run_stack(
+            "reference", os.path.join(REFERENCE, "run.py"),
+            os.path.join(args.workdir, "ref"), cfg_path, ref_env, args.task,
+        )
+        _mark("ref", ref_run)
+        if args.stage == "ref":
+            return
+    else:
+        ref_run = _load_mark("ref")
+
+    if args.stage in ("all", "ours"):
+        # --- ours (JAX CPU by default; strip the axon TPU site so
+        # JAX_PLATFORMS sticks.  --ours-tpu keeps the production backend.) ---
+        our_env = dict(base_env)
+        if args.ours_tpu:
+            our_env["PYTHONPATH"] = os.environ.get("PYTHONPATH", "")
+        else:
+            our_env["PYTHONPATH"] = os.pathsep.join(
+                [p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep) if "axon" not in p]
+            )
+            our_env["JAX_PLATFORMS"] = "cpu"
+        our_run = run_stack(
+            "ours", os.path.join(REPO, "run.py"),
+            os.path.join(args.workdir, "ours"), cfg_path, our_env, args.task,
+        )
+        _mark("ours", our_run)
+        if args.stage == "ours":
+            return
+    else:
+        our_run = _load_mark("ours")
 
     ref_m = extract_metrics(ref_run)
     our_m = extract_metrics(our_run)
