@@ -67,11 +67,20 @@ def stream_restore(
     feed: "queue.Queue" = queue.Queue(maxsize=2)
 
     def producer() -> None:
-        for i in range(0, len(files), batch):
-            chunk = files[i : i + batch]
-            paths = [os.path.join(images_dir, f) for f in chunk]
-            feed.put((chunk, decode_chunk(paths, hw, io_threads)))
-        feed.put(None)
+        # A decode failure (corrupt/unreadable file) must reach the consumer:
+        # without the sentinel-in-finally the consumer would block on
+        # ``feed.get()`` forever and the serving CLI would hang instead of
+        # failing with the original error.
+        error: Optional[BaseException] = None
+        try:
+            for i in range(0, len(files), batch):
+                chunk = files[i : i + batch]
+                paths = [os.path.join(images_dir, f) for f in chunk]
+                feed.put((chunk, decode_chunk(paths, hw, io_threads)))
+        except BaseException as exc:  # re-raised in the consumer loop
+            error = exc
+        finally:
+            feed.put(error)
 
     threading.Thread(target=producer, daemon=True).start()
 
@@ -86,6 +95,8 @@ def stream_restore(
             item = feed.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             chunk, imgs = item
             restored, aux = run_batch(imgs)
             for j, fname in enumerate(chunk):

@@ -472,6 +472,17 @@ class Model(BaseModel):
                 raise RuntimeError("BN recalibration needs a non-empty dataloader")
 
         path = os.path.join(self.model_path, self.model_name)
+        if not os.path.isfile(path):
+            # e.g. every epoch loss was NaN, so save_model never fired
+            print(f"[BN-RECAL] no checkpoint at {path} to recalibrate; skipped")
+            return
+        # Keep the stock stats recoverable: the refresh is task-dependent
+        # (blur regresses −0.83 dB, PARITY.md), so an enabled-but-unmeasured
+        # config must not destroy the only copy of the original stats.
+        try:
+            shutil.copyfile(path, path + ".prerecal")
+        except Exception:
+            pass
         w = ckpt.load_weights(path, self.state.params, self.state.batch_stats)
         refresh_net = self.network.clone(stats_refresh=True)
 

@@ -95,19 +95,26 @@ def main() -> None:
     # Threshold priority: the classifier run's own tuned thresholds_val.json
     # → the packaged defaults tuned on the shipped synthetic quality run
     # (config/classifier_thresholds.json) → flat 0.5.
-    thresholds = [0.5] * len(classes)
+    thr_by_class = {c: 0.5 for c in classes}
     packaged = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "multi_degradation_image_enhancement_tpu", "config",
         "classifier_thresholds.json",
     )
     thr_path = os.path.join(os.path.dirname(args.classifier), "thresholds_val.json")
+    thr_source = "flat 0.5"
+    # Merge per class (not replace): a run file that lacks some classes must
+    # fall back to the packaged defaults for those, not to flat 0.5.
     for path in (packaged, thr_path):
         if os.path.exists(path):
             with open(path, encoding="utf-8") as f:
                 report = json.load(f)
-            thresholds = [report["thresholds"].get(c, 0.5) for c in classes]
-            print(f"[pipeline] tuned thresholds from {path}")
+            found = {c: report["thresholds"][c] for c in classes if c in report["thresholds"]}
+            thr_by_class.update(found)
+            if found:
+                thr_source = path
+    thresholds = [thr_by_class[c] for c in classes]
+    print(f"[pipeline] thresholds: {thr_source}")
 
     # ---- expert bank ----
     weight_paths = {}

@@ -74,3 +74,27 @@ def test_stream_restore_propagates_write_failure(image_dir, tmp_path):
             sorted(os.listdir(image_dir)), image_dir, out,
             hw=HW, batch=4, run_batch=run_batch, io_threads=2,
         )
+
+
+def test_stream_restore_propagates_decode_failure(image_dir, tmp_path, monkeypatch):
+    """A corrupt file must fail the run with the decode error, not hang the
+    consumer on an empty queue (the producer enqueues the exception).
+
+    Forces the PIL fallback (the raising path) — the native decoder instead
+    zeros unreadable files by documented contract.
+    """
+    from multi_degradation_image_enhancement_tpu.data import io_native
+
+    monkeypatch.setattr(io_native, "available", lambda: False)
+    bad = os.path.join(image_dir, "img_03.png")
+    with open(bad, "wb") as f:
+        f.write(b"not a png at all")
+
+    def run_batch(imgs):
+        return imgs, None
+
+    with pytest.raises(Exception):
+        stream_restore(
+            sorted(os.listdir(image_dir)), image_dir, str(tmp_path / "o"),
+            hw=HW, batch=2, run_batch=run_batch, io_threads=2,
+        )
