@@ -25,7 +25,7 @@ BASELINE_IMG_PER_SEC = 5000.0
 
 def build_pipeline(batch: int, size: int, dtype):
     from multi_degradation_image_enhancement_tpu.models.cdan import CDAN
-    from multi_degradation_image_enhancement_tpu.models.cdan_fast import build_fast_apply
+    from multi_degradation_image_enhancement_tpu.models.cdan_fast import build_serving_apply
     from multi_degradation_image_enhancement_tpu.ops.degradations import apply_degradation
 
     model = CDAN(dtype=dtype)
@@ -35,8 +35,10 @@ def build_pipeline(batch: int, size: int, dtype):
     if jax.default_backend() == "cpu":  # smoke mode: interpreter kernels are too slow
         forward = lambda z: model.apply(variables, z, train=False)
     else:
-        # The serving path: Pallas channel-major DenseBlocks + BN-folded convs.
-        forward = build_fast_apply(variables, dtype)
+        # The serving path: all-channel-major Pallas forward (DenseBlocks,
+        # convs, CBAM, pool/upsample all in [B, C, H·W]) with per-shape
+        # fallback to the per-DenseBlock fused path.
+        forward = build_serving_apply(variables, dtype)
 
     def step(clean255, key):
         degraded = apply_degradation("noise", clean255, key) / 255.0

@@ -286,11 +286,11 @@ class Model(BaseModel):
             return None
         try:
             from multi_degradation_image_enhancement_tpu.models.cdan_fast import (
-                build_fast_apply,
+                build_serving_apply,
             )
 
             dtype = jnp.bfloat16 if self.precision == "bf16" else jnp.float32
-            return build_fast_apply(
+            return build_serving_apply(
                 {"params": params, "batch_stats": batch_stats}, dtype, interpret=on_cpu
             )
         except (KeyError, AttributeError) as e:

@@ -28,6 +28,17 @@ from flax import linen as nn
 
 from multi_degradation_image_enhancement_tpu.models.cbam import CBAM
 from multi_degradation_image_enhancement_tpu.models.cdan import _bilinear_x2
+from multi_degradation_image_enhancement_tpu.ops.pallas.conv_cm import (
+    conv3x3_cm,
+    conv_supported,
+    pack_conv,
+)
+from multi_degradation_image_enhancement_tpu.ops.pallas.conv_pool_cm import (
+    conv3x3_pool_cm,
+    conv_pool_supported,
+    deinterleave_cols,
+    pack_conv_pool,
+)
 from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block import fold_bn
 from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import (
     _run_cm,
@@ -54,6 +65,257 @@ def _conv2d(x: jax.Array, kernel: jax.Array, bias: jax.Array, dtype) -> jax.Arra
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return y + bias.astype(dtype)
+
+
+def _fold_all(variables: Dict[str, Any]) -> Dict[str, Any]:
+    """BN-fold every conv+BN pair of the canonical CDAN tree (shared by both
+    serving builders)."""
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    enc_p, enc_s = params["encoder"], stats["encoder"]
+    dec_p, dec_s = params["decoder"], stats["decoder"]
+    folded: Dict[str, Any] = {}
+    for name in ("conv1", "conv2", "conv3", "conv4"):
+        folded[name] = _fold_conv_bn(
+            enc_p[name]["Conv_0"], enc_p[name]["BatchNorm_0"], enc_s[name]["BatchNorm_0"]
+        )
+    for name in ("de1", "de2", "de3", "de4"):
+        folded[name] = _fold_conv_bn(
+            dec_p[f"{name}_conv"], dec_p[f"{name}_bn"], dec_s[f"{name}_bn"]
+        )
+    return folded
+
+
+def _pack_dense_blocks(variables: Dict[str, Any]) -> Dict[str, Any]:
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    enc_p, enc_s = params["encoder"], stats["encoder"]
+    dec_p, dec_s = params["decoder"], stats["decoder"]
+    db_cfg = {"dense1": 64, "dense2": 128, "dense3": 256, "final_dense": 3}
+    return {
+        name: pack_params_cm(
+            (enc_p if name.startswith("dense") else dec_p)[name],
+            (enc_s if name.startswith("dense") else dec_s)[name],
+            c_in,
+        )
+        for name, c_in in db_cfg.items()
+    }
+
+
+def pack_cbam_cm(params: Dict[str, Any], stats: Dict[str, Any]) -> Dict[str, jax.Array]:
+    """Extract + fold one CBAM's weights for the channel-major apply.
+
+    Channel gate: shared MLP (fc1/fc2 Dense, reference ``models/cbam.py:37-60``)
+    applied to avg- and max-pooled channel vectors.  Spatial gate: 7×7 conv
+    (no bias) + BN (reference ``:68-82``) — the inference BN folds into the
+    conv kernel and one scalar bias.
+    """
+    cg = params["ChannelGate_0"]
+    sp = params["SpatialGate_0"]["spatial"]
+    st = stats["SpatialGate_0"]["spatial"]["BatchNorm_0"]
+    a, b = fold_bn(sp["BatchNorm_0"]["scale"], sp["BatchNorm_0"]["bias"], st["mean"], st["var"])
+    return {
+        "w1": cg["fc1"]["kernel"],
+        "b1": cg["fc1"]["bias"],
+        "w2": cg["fc2"]["kernel"],
+        "b2": cg["fc2"]["bias"],
+        "k7": sp["Conv_0"]["kernel"] * a,  # [7,7,2,1], BN scale folded in
+        "bsp": b,  # [1] folded BN bias
+    }
+
+
+def _cbam_cm(x: jax.Array, pack: Dict[str, jax.Array], hw_shape, dtype) -> jax.Array:
+    """CBAM on a channel-major ``[B, C, H·W]`` activation (inference).
+
+    Same math as ``models.cbam.CBAM(...).apply(..., train=False)`` with the
+    default avg+max pools, computed without leaving the CM layout: channel
+    pools reduce the lane axis, the gate MLP is a tiny matmul, the spatial
+    7×7 conv runs as an NCHW ``conv_general_dilated`` on the 2-channel
+    compress map.
+    """
+    bsz, c, hw = x.shape
+    h, w = hw_shape
+    avg = jnp.mean(x, axis=2)
+    mx = jnp.max(x, axis=2)
+
+    def mlp(v):
+        hdn = jnp.maximum(v @ pack["w1"].astype(dtype) + pack["b1"].astype(dtype), 0)
+        return hdn @ pack["w2"].astype(dtype) + pack["b2"].astype(dtype)
+
+    scale = jax.nn.sigmoid(mlp(avg) + mlp(mx))[:, :, None]
+    x = x * scale
+
+    comp = jnp.stack([jnp.max(x, axis=1), jnp.mean(x, axis=1)], axis=1)  # [B,2,HW]
+    att = jax.lax.conv_general_dilated(
+        comp.reshape(bsz, 2, h, w).astype(dtype),
+        pack["k7"].astype(dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    ).reshape(bsz, 1, hw) + pack["bsp"].astype(dtype)
+    return x * jax.nn.sigmoid(att)
+
+
+def _maxpool2x2_cm(x: jax.Array, hw_shape) -> jax.Array:
+    """2×2 max-pool on channel-major ``[B, C, H·W]`` (stride-2 lane max)."""
+    b, c, hw = x.shape
+    h, w = hw_shape
+    x4 = x.reshape(b, c, h // 2, 2, w // 2, 2)
+    return jnp.max(x4, axis=(3, 5)).reshape(b, c, hw // 4)
+
+
+def _upsample_x2_cm(x: jax.Array, hw_shape) -> jax.Array:
+    """×2 half-pixel bilinear upsample on channel-major ``[B, C, H·W]``."""
+    b, c, hw = x.shape
+    h, w = hw_shape
+    y = jax.image.resize(x.reshape(b, c, h, w), (b, c, 2 * h, 2 * w), method="bilinear")
+    return y.reshape(b, c, 4 * hw)
+
+
+def build_fast_apply_cm(
+    variables: Dict[str, Any], dtype=jnp.bfloat16, *, interpret: bool = False
+) -> Callable[[jax.Array], jax.Array]:
+    """All-channel-major fused inference forward.
+
+    Every activation between the input transpose and the output transpose
+    stays ``[B, C, H·W]``: the five DenseBlocks and all eight 3×3 convs run
+    through the channel-major Pallas kernels (conv1 fused with its 2×2 pool
+    via the polyphase kernel), CBAM/pool/upsample run as CM-native XLA ops —
+    so the per-DenseBlock NHWC↔CM boundary transposes of
+    :func:`build_fast_apply` (≈5 ms/step at B=128·256², PERF.md) disappear.
+
+    Topology parity: reference ``/root/reference/models/cdan.py:55-159``.
+    Numerical contract: equals the canonical module apply to bf16 tolerance
+    (``tests/test_cdan_fast.py``).
+    """
+    params = variables["params"]
+    stats = variables["batch_stats"]
+    dec_p, dec_s = params["decoder"], stats["decoder"]
+
+    folded = _fold_all(variables)
+    db_packed = _pack_dense_blocks(variables)
+
+    conv1_pack = pack_conv_pool(*folded["conv1"])
+    conv_packs = {name: pack_conv(*folded[name]) for name in
+                  ("conv2", "conv3", "conv4", "de1", "de2", "de3", "de4")}
+
+    cbam_packs = {
+        "bottleneck": pack_cbam_cm(params["bottleneck"], stats["bottleneck"]),
+        "cbam1": pack_cbam_cm(dec_p["cbam1"], dec_s["cbam1"]),
+        "cbam2": pack_cbam_cm(dec_p["cbam2"], dec_s["cbam2"]),
+        "cbam3": pack_cbam_cm(dec_p["cbam3"], dec_s["cbam3"]),
+    }
+
+    def conv(x_cm, name, hw):
+        return conv3x3_cm(x_cm, conv_packs[name], hw_shape=hw, interpret=interpret)
+
+    def dense_block(x_cm, name, c_in, hw):
+        out = _run_cm2(x_cm, db_packed[name], c_in=c_in, hw_shape=hw, interpret=interpret)
+        return out  # [B, ceil16(c_out), HW]
+
+    def cbam(x_cm, name, hw):
+        return _cbam_cm(x_cm, cbam_packs[name], hw, dtype)
+
+    def apply_fn(x: jax.Array) -> jax.Array:
+        bsz, h0, w0, _ = x.shape
+        x_cm = x.transpose(0, 3, 1, 2).reshape(bsz, 3, h0 * w0).astype(dtype)
+
+        # conv1 + 2×2 pool in one polyphase pass (3→64, ch padded to 8)
+        x8 = jnp.pad(x_cm, ((0, 0), (0, 5), (0, 0)))
+        out = conv3x3_pool_cm(
+            deinterleave_cols(x8, (h0, w0)), conv1_pack, hw_shape=(h0, w0),
+            interpret=interpret,
+        )
+        h, w = h0 // 2, w0 // 2
+        d1 = dense_block(out, "dense1", 64, (h, w))
+        skip0 = out
+
+        out = conv(out, "conv2", (h, w))
+        out = _maxpool2x2_cm(out, (h, w))
+        h, w = h // 2, w // 2
+        d2 = dense_block(out, "dense2", 128, (h, w))
+        skip1 = out
+
+        out = conv(out, "conv3", (h, w))
+        out = _maxpool2x2_cm(out, (h, w))
+        h, w = h // 2, w // 2
+        d3 = dense_block(out, "dense3", 256, (h, w))
+        skip2 = out
+
+        out = conv(out, "conv4", (h, w))
+        out = cbam(out, "bottleneck", (h, w))
+
+        out = conv(out, "de1", (h, w))
+        out = out + skip2
+        out = cbam(out, "cbam1", (h, w))
+
+        out = out * d3
+        out = conv(out, "de2", (h, w))
+        out = _upsample_x2_cm(out, (h, w))
+        h, w = 2 * h, 2 * w
+        out = out + skip1
+        out = cbam(out, "cbam2", (h, w))
+
+        out = out * d2
+        out = conv(out, "de3", (h, w))
+        out = _upsample_x2_cm(out, (h, w))
+        h, w = 2 * h, 2 * w
+        out = out + skip0
+        out = cbam(out, "cbam3", (h, w))
+
+        out = out * d1
+        out = conv(out, "de4", (h, w))[:, :3, :]  # c_out=3 padded to 16 — slice
+        out = _upsample_x2_cm(out, (h, w))
+        h, w = 2 * h, 2 * w
+        out = out + x_cm  # global residual
+
+        out = dense_block(out, "final_dense", 3, (h, w))[:, :3, :]
+        out = jax.nn.sigmoid(out)
+        return out.reshape(bsz, 3, h, w).transpose(0, 2, 3, 1).astype(jnp.float32)
+
+    return apply_fn
+
+
+def cm_forward_supported(h: int, w: int) -> bool:
+    """Whether every kernel in the all-CM forward admits this image size."""
+    grids = [  # (h, w, c_in, c_out) per conv kernel call
+        (h // 2, w // 2, 64, 128),
+        (h // 4, w // 4, 128, 256),
+        (h // 8, w // 8, 256, 512),
+        (h // 8, w // 8, 512, 256),
+        (h // 8, w // 8, 256, 128),
+        (h // 4, w // 4, 128, 64),
+        (h // 2, w // 2, 64, 3),
+    ]
+    dbs = [(h // 2, w // 2, 64, 64), (h // 4, w // 4, 128, 128),
+           (h // 8, w // 8, 256, 256), (h, w, 3, 3)]
+    return (
+        h % 8 == 0
+        and w % 16 == 0
+        and conv_pool_supported(h, w, 8, 64)
+        and all(conv_supported(*g) for g in grids)
+        and all(cm2_supported(*g) for g in dbs)
+    )
+
+
+def build_serving_apply(
+    variables: Dict[str, Any], dtype=jnp.bfloat16, *, interpret: bool = False
+) -> Callable[[jax.Array], jax.Array]:
+    """Serving forward with per-shape dispatch: the all-channel-major path
+    (:func:`build_fast_apply_cm`) whenever the traced image size admits every
+    CM kernel, else the per-DenseBlock fused path (:func:`build_fast_apply`).
+
+    Shape inspection happens at trace time (shapes are static under jit), so
+    a jitted caller pays zero runtime dispatch cost.
+    """
+    cm_fn = build_fast_apply_cm(variables, dtype, interpret=interpret)
+    v1_fn = build_fast_apply(variables, dtype, interpret=interpret)
+
+    def apply_fn(x: jax.Array) -> jax.Array:
+        _, h, w, _ = x.shape
+        return cm_fn(x) if cm_forward_supported(h, w) else v1_fn(x)
+
+    return apply_fn
 
 
 def build_fast_apply(

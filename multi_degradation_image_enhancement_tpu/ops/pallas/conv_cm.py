@@ -48,9 +48,9 @@ def pack_conv(kernel: jax.Array, bias: jax.Array) -> Dict[str, jax.Array]:
 
 def _kernel(
     x_ref,  # [n, c_in, HW]
-    a_ref,  # [3*c_outp, 3*c_in]
-    b_ref,  # [c_outp, 1]
-    out_ref,  # [n, c_outp, HW]
+    a_ref,  # [3*c_h, 3*c_in] (this split's row block)
+    b_ref,  # [c_h, 1]
+    out_ref,  # [n, c_h, HW] (this split's channel block)
     xpad,  # scratch [c_in, n*l_img] bf16
     *,
     c_in: int,
@@ -70,19 +70,25 @@ def _kernel(
     has_next = jnp.where(col == w_img - 1, 0.0, 1.0)
     has_prev = jnp.where(col == 0, 0.0, 1.0)
 
-    xpad[:, :] = jnp.zeros((c_in, L), jnp.bfloat16)
-    for j in range(n_img):
-        xpad[:, j * l_img + halo : j * l_img + halo + hw] = x_ref[j].astype(jnp.bfloat16)
+    # The halo'd input scratch is shared by every c_out split of this image
+    # block (the split axis is the innermost grid dim) — build it once.
+    @pl.when(pl.program_id(1) == 0)
+    def _build():
+        xpad[:, :] = jnp.zeros((c_in, L), jnp.bfloat16)
+        for j in range(n_img):
+            xpad[:, j * l_img + halo : j * l_img + halo + hw] = x_ref[j].astype(
+                jnp.bfloat16
+            )
 
     v = xpad[:, :]
 
     def tap(dx_block):
         return jax.lax.dot_general(
-            a_ref[:, dx_block * c_in : (dx_block + 1) * c_in],
+            a_ref[0, :, dx_block * c_in : (dx_block + 1) * c_in],
             v,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [3*c_outp, L]
+        )  # [3*c_h, L]
 
     u = tap(1)
     u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
@@ -92,7 +98,7 @@ def _kernel(
         + u[c_outp : 2 * c_outp, :]
         + _roll(u[2 * c_outp : 3 * c_outp, :], -w_img, interpret=interpret)
     )
-    y = g + b_ref[:]
+    y = g + b_ref[0]
     if relu:
         y = jnp.maximum(y, 0.0)
     y = y.astype(out_dtype)
@@ -100,12 +106,26 @@ def _kernel(
         out_ref[j, :, :] = y[:, j * l_img + halo : j * l_img + halo + hw]
 
 
+def _bytes_per_lane(c_in: int, c_h: int, c_outp: int, hw: int, l_img: int) -> int:
+    # xpad bf16 + ~3 live f32 [3*c_h, L] intermediates + in/out HBM blocks
+    return 2 * c_in + 3 * 4 * 3 * c_h + (2 * c_in + 2 * c_outp) * hw // l_img
+
+
+def _pick_split(c_outp: int, c_in: int, hw: int, l_img: int) -> int:
+    """Smallest c_out split (power of two, 16-aligned halves) whose VMEM
+    working set fits; 0 if none does."""
+    for s in (1, 2, 4, 8):
+        if c_outp % (16 * s):
+            continue
+        if l_img <= _VMEM_TARGET_BYTES // _bytes_per_lane(c_in, c_outp // s, c_outp, hw, l_img):
+            return s
+    return 0
+
+
 def conv_supported(h_img: int, w_img: int, c_in: int, c_out: int) -> bool:
     hw = h_img * w_img
     l_img = hw + 2 * w_img
-    c_outp = _ceil16(c_out)
-    bytes_per_lane = 2 * c_in + 3 * 4 * 3 * c_outp + (2 * c_in + 2 * c_outp) * hw // l_img
-    return l_img <= _VMEM_TARGET_BYTES // bytes_per_lane
+    return _pick_split(_ceil16(c_out), c_in, hw, l_img) > 0
 
 
 @functools.partial(jax.jit, static_argnames=("hw_shape", "relu", "interpret"))
@@ -124,10 +144,11 @@ def conv3x3_cm(
     l_img = hw + 2 * w_img
     c_outp = packed["bias"].shape[0]
 
-    bytes_per_lane = 2 * c_in + 3 * 4 * 3 * c_outp + (2 * c_in + 2 * c_outp) * hw // l_img
-    l_max = _VMEM_TARGET_BYTES // bytes_per_lane
-    if l_img > l_max:
+    s = _pick_split(c_outp, c_in, hw, l_img)
+    if s == 0:
         raise ValueError("grid too large for packed CM conv")
+    c_h = c_outp // s
+    l_max = _VMEM_TARGET_BYTES // _bytes_per_lane(c_in, c_h, c_outp, hw, l_img)
     n = 1
     for cand in range(min(l_max // l_img, b), 0, -1):
         if b % cand == 0:
@@ -135,10 +156,17 @@ def conv3x3_cm(
             break
     g = b // n
 
+    # Row order of packed A is (dy, c_out); regroup to (split, dy, c_out_in_split)
+    # so each split's rows are one contiguous block.  Bias likewise.
+    a_split = (
+        packed["A"].reshape(3, s, c_h, 3 * c_in).transpose(1, 0, 2, 3).reshape(s, 3 * c_h, 3 * c_in)
+    )
+    b_split = packed["bias"].reshape(s, c_h, 1)
+
     kernel = functools.partial(
         _kernel,
         c_in=c_in,
-        c_outp=c_outp,
+        c_outp=c_h,
         w_img=w_img,
         hw=hw,
         l_img=l_img,
@@ -149,15 +177,15 @@ def conv3x3_cm(
     )
     return pl.pallas_call(
         kernel,
-        grid=(g,),
+        grid=(g, s),
         in_specs=[
-            pl.BlockSpec((n, c_in, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(packed["A"].shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(packed["bias"].shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, c_in, hw), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c_h, 3 * c_in), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_h, 1), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((n, c_outp, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((n, c_h, hw), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c_outp, hw), x_cm.dtype),
         scratch_shapes=[pltpu.VMEM((c_in, n * l_img), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x_cm, packed["A"], packed["bias"])
+    )(x_cm, a_split, b_split)

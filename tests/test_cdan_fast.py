@@ -89,3 +89,43 @@ def test_engine_fused_flag_routes_eval(tmp_path):
             engine_auto._fused_eval_forward(variables["params"], variables["batch_stats"])
             is None
         )
+
+
+def test_cm_forward_matches_module(cdan_vars):
+    """All-channel-major forward (conv/DB/CBAM/pool/upsample in [B,C,HW])
+    equals the canonical module apply."""
+    from multi_degradation_image_enhancement_tpu.models.cdan_fast import (
+        build_fast_apply_cm,
+        cm_forward_supported,
+    )
+
+    assert cm_forward_supported(16, 32)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(1, 16, 32, 3), jnp.float32)
+    ref = CDAN(dtype=jnp.float32).apply(cdan_vars, x, train=False)
+    got = build_fast_apply_cm(cdan_vars, jnp.float32, interpret=True)(x)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(ref - got).max()) < 2e-2
+    assert float(jnp.abs(ref - got).mean()) < 2e-3
+
+
+def test_serving_apply_dispatches_by_shape():
+    """build_serving_apply routes CM-supported shapes to the CM forward and
+    everything else to the per-DenseBlock path (trace-time dispatch)."""
+    from multi_degradation_image_enhancement_tpu.models import cdan_fast
+
+    calls = []
+    fake_cm = lambda x: calls.append("cm") or x
+    fake_v1 = lambda x: calls.append("v1") or x
+
+    class _V(dict):
+        pass
+
+    import unittest.mock as mock
+
+    with mock.patch.object(cdan_fast, "build_fast_apply_cm", return_value=fake_cm), \
+         mock.patch.object(cdan_fast, "build_fast_apply", return_value=fake_v1):
+        fn = cdan_fast.build_serving_apply({}, jnp.float32)
+    fn(jnp.zeros((1, 32, 48, 3)))   # supported -> cm
+    fn(jnp.zeros((1, 8, 8, 3)))     # w%16 != 0 -> v1
+    assert calls == ["cm", "v1"]

@@ -216,3 +216,39 @@ def test_fold_bn_math():
     x = jnp.asarray([3.0])
     direct = scale * (x - mean) / jnp.sqrt(var) + bias
     assert float(jnp.abs(a * x + b - direct)[0]) < 1e-6
+
+
+def test_conv3x3_cm_channel_split(monkeypatch):
+    """Large-grid c_out-split mode: shrink the VMEM budget so a small shape
+    is forced onto the split path, and check exactness vs the XLA conv."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas import conv_cm
+    from multi_degradation_image_enhancement_tpu.ops.pallas.conv_cm import (
+        conv3x3_cm,
+        pack_conv,
+    )
+
+    h, w, c_in, c_out = 16, 32, 8, 32
+    l_img = h * w + 2 * w
+    # budget below the unsplit working set but above the half-split one
+    budget = (
+        conv_cm._bytes_per_lane(c_in, c_out // 2, c_out, h * w, l_img)
+        + conv_cm._bytes_per_lane(c_in, c_out, c_out, h * w, l_img)
+    ) // 2 * l_img
+    monkeypatch.setattr(conv_cm, "_VMEM_TARGET_BYTES", budget)
+    assert conv_cm._pick_split(c_out, c_in, h * w, l_img) == 2
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(3, h, w, c_in) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.randn(3, 3, c_in, c_out) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(c_out) * 0.1, jnp.float32)
+    ref = jnp.maximum(
+        jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        + b,
+        0.0,
+    )
+    xcm = x.transpose(0, 3, 1, 2).reshape(3, c_in, h * w)
+    out = conv3x3_cm(xcm, pack_conv(k, b), hw_shape=(h, w), interpret=True)
+    got = out[:, :c_out, :].reshape(3, c_out, h, w).transpose(0, 2, 3, 1)
+    assert float(jnp.abs(ref - got).max()) < 5e-2
