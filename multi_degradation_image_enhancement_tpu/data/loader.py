@@ -28,10 +28,14 @@ from multi_degradation_image_enhancement_tpu.ops.degradations import apply_degra
 class DeviceDataLoader:
     """Iterates device-resident batches.
 
-    Yields ``(inputs, targets)`` for paired datasets (both [B,H,W,3] float32
-    in the transform's output domain) or ``inputs`` for unpaired ones.
-    The final partial batch is kept (torch ``drop_last=False`` semantics);
-    it compiles once as a second shape.
+    Yields ``(inputs, targets, mask)`` for paired datasets (arrays are
+    [B,H,W,3] float32 in the transform's output domain) or ``(inputs, mask)``
+    for unpaired ones.  Every sample is kept (torch ``drop_last=False``
+    semantics) but a final partial batch is padded to full ``batch_size`` by
+    repeating its last sample, so train/eval jit exactly once per dataset:
+    ``mask`` is a per-sample validity vector [B] of {0.,1.} that consumers
+    pass to the loss/metric pipelines (mask-weighted means) and use to slice
+    saved outputs.
     """
 
     def __init__(
@@ -147,27 +151,50 @@ class DeviceDataLoader:
         epoch_key = jax.random.fold_in(jax.random.key(self.seed), self._epoch)
         self._epoch += 1
 
-        batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
+        # Pad the final partial batch to full size by repeating its last
+        # sample: one compiled shape per dataset (no second jit at the odd
+        # tail shape), with a validity mask excluding the repeats from every
+        # loss/metric (mask-weighted means preserve the reference's
+        # partial-batch mean semantics exactly — equal-size samples).
+        bsz = self.batch_size
+        batches = []
+        for i in range(0, n, bsz):
+            idxs = order[i : i + bsz]
+            n_valid = len(idxs)
+            if n_valid < bsz:
+                idxs = np.concatenate([idxs, np.full(bsz - n_valid, idxs[-1])])
+            batches.append((idxs, n_valid))
+
+        def _mask(n_valid: int) -> jnp.ndarray:
+            return jnp.asarray(
+                (np.arange(bsz) < n_valid).astype(np.float32)
+            )
+
+        def _with_mask(out, n_valid):
+            m = _mask(n_valid)
+            if isinstance(out, tuple):
+                return (*out, m)
+            return (out, m)
 
         if self._clean_dev is not None:  # fully device-resident path
-            for bi, idxs in enumerate(batches):
+            for bi, (idxs, n_valid) in enumerate(batches):
                 key = jax.random.fold_in(epoch_key, bi)
                 x = jnp.take(self._clean_dev, jnp.asarray(idxs), axis=0)
-                yield self._pipeline(x, key)
+                yield _with_mask(self._pipeline(x, key), n_valid)
             return
 
         # One-deep host prefetch: decode batch i+1 while the device consumes i.
         q: Queue = Queue(maxsize=2)
 
         def producer():
-            for bi, idxs in enumerate(batches):
+            for bi, (idxs, n_valid) in enumerate(batches):
                 host = self._host_batch(idxs)
                 # channel-second for the H2D copy (overlapped with device
                 # compute by this prefetch thread); see pipeline note above.
                 host = np.ascontiguousarray(
                     np.moveaxis(host, -1, -3)
                 )
-                q.put((bi, host))
+                q.put((bi, host, n_valid))
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)
@@ -177,9 +204,9 @@ class DeviceDataLoader:
             item = q.get()
             if item is None:
                 break
-            bi, host = item
+            bi, host, n_valid = item
             key = jax.random.fold_in(epoch_key, bi)
-            yield self._pipeline(jnp.asarray(host), key)
+            yield _with_mask(self._pipeline(jnp.asarray(host), key), n_valid)
 
 
 def define_dataloader(dataset: Any, dataloader_config: Dict[str, Any]) -> DeviceDataLoader:

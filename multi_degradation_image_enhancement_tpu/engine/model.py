@@ -91,10 +91,12 @@ def make_train_step(network, loss_pipe, remat: bool = False):
         # checkpoint (weaker — saves only cross-boundary residuals).
         forward = jax.checkpoint(forward)
 
-    def step(state: TrainState, inputs, targets, dropout_key):
+    def step(state: TrainState, inputs, targets, dropout_key, mask=None):
         def loss_fn(params):
             outputs, mutated = forward(params, state.batch_stats, inputs, dropout_key)
-            loss_dict = loss_pipe(outputs, targets=targets, inputs=inputs, is_paired=True)
+            loss_dict = loss_pipe(
+                outputs, targets=targets, inputs=inputs, is_paired=True, mask=mask
+            )
             return loss_dict["total"], (loss_dict, mutated)
 
         (_, (loss_dict, mutated)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -104,6 +106,29 @@ def make_train_step(network, loss_pipe, remat: bool = False):
         return new_state, loss_dict
 
     return step
+
+
+def _unpack_paired(batch):
+    """(inputs, targets[, mask]) -> (inputs, targets, mask-or-None).
+
+    Accepts both the padded-loader 3-tuple and legacy 2-tuples (tests,
+    external iterables).
+    """
+    if isinstance(batch, (tuple, list)) and len(batch) == 3:
+        return batch[0], batch[1], batch[2]
+    inputs, targets = batch
+    return inputs, targets, None
+
+
+def _unpack_single(batch):
+    """inputs or (inputs, mask) -> (inputs, mask-or-None)."""
+    if isinstance(batch, (tuple, list)) and len(batch) == 2:
+        return batch[0], batch[1]
+    return batch, None
+
+
+def _n_valid(x, mask) -> int:
+    return int(x.shape[0]) if mask is None else int(np.sum(np.asarray(mask)))
 
 
 def _mean_of_dicts(dicts: List[Dict[str, jax.Array]]) -> Dict[str, float]:
@@ -314,7 +339,7 @@ class Model(BaseModel):
             if fused_fwd is not None:
                 print("[ENGINE] fused inference kernels active (Pallas DenseBlocks)")
 
-        def step(params, batch_stats, inputs, targets):
+        def step(params, batch_stats, inputs, targets, mask=None):
             if fused_fwd is not None:
                 outputs = fused_fwd(inputs)
             else:
@@ -325,11 +350,19 @@ class Model(BaseModel):
             result = {"raw": outputs, "post": pp_outputs}
             if targets is not None:
                 if eval_on_raw:
-                    result["pre_loss"] = loss_pipe(outputs, targets=targets, inputs=inputs)
-                    result["pre_metric"] = metrics_pipe(outputs, targets=targets, inputs=inputs)
+                    result["pre_loss"] = loss_pipe(
+                        outputs, targets=targets, inputs=inputs, mask=mask
+                    )
+                    result["pre_metric"] = metrics_pipe(
+                        outputs, targets=targets, inputs=inputs, mask=mask
+                    )
                 if eval_on_post:
-                    result["post_loss"] = loss_pipe(pp_outputs, targets=targets, inputs=inputs)
-                    result["post_metric"] = metrics_pipe(pp_outputs, targets=targets, inputs=inputs)
+                    result["post_loss"] = loss_pipe(
+                        pp_outputs, targets=targets, inputs=inputs, mask=mask
+                    )
+                    result["post_metric"] = metrics_pipe(
+                        pp_outputs, targets=targets, inputs=inputs, mask=mask
+                    )
             return result
 
         return jax.jit(step, static_argnames=())
@@ -361,7 +394,7 @@ class Model(BaseModel):
                 total=len(self.dataloader),
             )
             for step_i, batch in iterator:
-                inputs, targets = batch
+                inputs, targets, mask = _unpack_paired(batch)
                 if self.state is None:
                     self.state = self._init_state(inputs)
                     if resume_dir:
@@ -370,9 +403,13 @@ class Model(BaseModel):
                     train_fn = self._build_train_step()
 
                 dropout_key = jax.random.fold_in(root_key, epoch * 100003 + step_i)
-                self.state, loss_dict = train_fn(self.state, inputs, targets, dropout_key)
+                self.state, loss_dict = train_fn(
+                    self.state, inputs, targets, dropout_key, mask
+                )
                 batch_dicts.append(loss_dict)
-                n_images += int(inputs.shape[0])
+                n_images += (
+                    int(inputs.shape[0]) if mask is None else int(np.sum(np.asarray(mask)))
+                )
 
                 if (
                     self.logging_enabled
@@ -461,7 +498,7 @@ class Model(BaseModel):
             print("[BN-RECAL] network has no stats_refresh mode; skipped")
             return
         def batch_inputs(batch):
-            # paired/synthetic loaders yield (inputs, targets); unpaired a bare array
+            # loaders yield (inputs, targets, mask) / (inputs, mask) / bare
             return batch[0] if isinstance(batch, (tuple, list)) else batch
 
         if self.state is None:
@@ -588,8 +625,9 @@ class Model(BaseModel):
 
         if self.is_dataset_paired:
             for batch in tqdm(self.dataloader, desc="Testing..."):
-                inputs, targets = batch
-                result = eval_fn(params, batch_stats, inputs, targets)
+                inputs, targets, mask = _unpack_paired(batch)
+                result = eval_fn(params, batch_stats, inputs, targets, mask)
+                nv = _n_valid(inputs, mask)
 
                 if self.eval_on_raw:
                     accumulate(pre_loss_sums, result["pre_loss"])
@@ -603,14 +641,14 @@ class Model(BaseModel):
                 ):
                     if self.save_cfg.get("save_raw", False):
                         self._save_batch_outputs(
-                            result["raw"], out_counter, self.save_cfg.get("raw_prefix", "raw_")
+                            result["raw"][:nv], out_counter, self.save_cfg.get("raw_prefix", "raw_")
                         )
                     if self.save_cfg.get("save_postprocessed", True):
                         self._save_batch_outputs(
-                            result["post"], out_counter, self.save_cfg.get("post_prefix", "output_")
+                            result["post"][:nv], out_counter, self.save_cfg.get("post_prefix", "output_")
                         )
 
-                out_counter += int(inputs.shape[0])
+                out_counter += nv
                 n_batches += 1
                 if max_save is not None and out_counter >= max_save:
                     break
@@ -649,20 +687,22 @@ class Model(BaseModel):
                     }
                 )
         else:
-            for inputs in tqdm(self.dataloader, desc="Testing..."):
-                result = eval_fn(params, batch_stats, inputs, None)
+            for batch in tqdm(self.dataloader, desc="Testing..."):
+                inputs, mask = _unpack_single(batch)
+                result = eval_fn(params, batch_stats, inputs, None, mask)
+                nv = _n_valid(inputs, mask)
                 if self.save_cfg.get("enabled", True) and (
                     max_save is None or out_counter < max_save
                 ):
                     if self.save_cfg.get("save_raw", False):
                         self._save_batch_outputs(
-                            result["raw"], out_counter, self.save_cfg.get("raw_prefix", "raw_")
+                            result["raw"][:nv], out_counter, self.save_cfg.get("raw_prefix", "raw_")
                         )
                     if self.save_cfg.get("save_postprocessed", True):
                         self._save_batch_outputs(
-                            result["post"], out_counter, self.save_cfg.get("post_prefix", "output_")
+                            result["post"][:nv], out_counter, self.save_cfg.get("post_prefix", "output_")
                         )
-                out_counter += int(inputs.shape[0])
+                out_counter += nv
                 n_batches += 1
                 if max_save is not None and out_counter >= max_save:
                     break

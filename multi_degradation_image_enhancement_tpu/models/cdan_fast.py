@@ -145,15 +145,54 @@ def _cbam_cm(x: jax.Array, pack: Dict[str, jax.Array], hw_shape, dtype) -> jax.A
     scale = jax.nn.sigmoid(mlp(avg) + mlp(mx))[:, :, None]
     x = x * scale
 
-    comp = jnp.stack([jnp.max(x, axis=1), jnp.mean(x, axis=1)], axis=1)  # [B,2,HW]
+    # Spatial gate on the 2-channel compress map.  The map is tiny (2·H·W),
+    # so transpose it to NHWC for the 7×7 conv — an NCHW conv at C=2 pays
+    # XLA's channel-padding tax (measured +2.5 ms/step across the 4 CBAMs).
+    comp = jnp.stack([jnp.max(x, axis=1), jnp.mean(x, axis=1)], axis=-1)  # [B,HW,2]
     att = jax.lax.conv_general_dilated(
-        comp.reshape(bsz, 2, h, w).astype(dtype),
+        comp.reshape(bsz, h, w, 2).astype(dtype),
         pack["k7"].astype(dtype),
         window_strides=(1, 1),
         padding="SAME",
-        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
     ).reshape(bsz, 1, hw) + pack["bsp"].astype(dtype)
     return x * jax.nn.sigmoid(att)
+
+
+def _conv_cm_xla(
+    x_cm: jax.Array, packed: Dict[str, jax.Array], hw_shape, *, relu: bool = True
+) -> jax.Array:
+    """XLA NCHW 3×3 conv on a channel-major activation, from the same packed
+    weights as :func:`ops.pallas.conv_cm.conv3x3_cm` (kernel reconstructed by
+    inverting ``pack_conv``'s (dy, c_out)-row layout)."""
+    b, c_in, hw = x_cm.shape
+    h, w = hw_shape
+    c_outp = packed["bias"].shape[0]
+    k = packed["A"].reshape(3, c_outp, 3, c_in).transpose(0, 2, 3, 1)  # HWIO
+    y = jax.lax.conv_general_dilated(
+        x_cm.reshape(b, c_in, h, w),
+        k.astype(x_cm.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NCHW", "HWIO", "NCHW"),
+    ) + packed["bias"].astype(x_cm.dtype)[None, :, :, None]  # [1,c_outp,1,1]
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y.reshape(b, c_outp, hw)
+
+
+# Per-layer conv implementation for the all-CM forward ("pallas" = the CM
+# Pallas kernel, "xla" = NCHW conv_general_dilated).  Defaults follow the
+# in-context A/B in PERF.md; benchmarks patch this table to re-measure.
+_CM_CONV_IMPL: Dict[str, str] = {
+    "conv2": "xla",
+    "conv3": "xla",
+    "conv4": "xla",
+    "de1": "xla",
+    "de2": "xla",
+    "de3": "xla",
+    "de4": "xla",
+}
 
 
 def _maxpool2x2_cm(x: jax.Array, hw_shape) -> jax.Array:
@@ -207,6 +246,8 @@ def build_fast_apply_cm(
     }
 
     def conv(x_cm, name, hw):
+        if _CM_CONV_IMPL.get(name, "pallas") == "xla":
+            return _conv_cm_xla(x_cm, conv_packs[name], hw)
         return conv3x3_cm(x_cm, conv_packs[name], hw_shape=hw, interpret=interpret)
 
     def dense_block(x_cm, name, c_in, hw):
@@ -278,22 +319,26 @@ def build_fast_apply_cm(
 
 def cm_forward_supported(h: int, w: int) -> bool:
     """Whether every kernel in the all-CM forward admits this image size."""
-    grids = [  # (h, w, c_in, c_out) per conv kernel call
-        (h // 2, w // 2, 64, 128),
-        (h // 4, w // 4, 128, 256),
-        (h // 8, w // 8, 256, 512),
-        (h // 8, w // 8, 512, 256),
-        (h // 8, w // 8, 256, 128),
-        (h // 4, w // 4, 128, 64),
-        (h // 2, w // 2, 64, 3),
-    ]
+    grids = {  # layer -> (h, w, c_in, c_out) per conv call
+        "conv2": (h // 2, w // 2, 64, 128),
+        "conv3": (h // 4, w // 4, 128, 256),
+        "conv4": (h // 8, w // 8, 256, 512),
+        "de1": (h // 8, w // 8, 512, 256),
+        "de2": (h // 8, w // 8, 256, 128),
+        "de3": (h // 4, w // 4, 128, 64),
+        "de4": (h // 2, w // 2, 64, 3),
+    }
     dbs = [(h // 2, w // 2, 64, 64), (h // 4, w // 4, 128, 128),
            (h // 8, w // 8, 256, 256), (h, w, 3, 3)]
     return (
         h % 8 == 0
         and w % 16 == 0
         and conv_pool_supported(h, w, 8, 64)
-        and all(conv_supported(*g) for g in grids)
+        and all(
+            conv_supported(*g)
+            for name, g in grids.items()
+            if _CM_CONV_IMPL.get(name, "pallas") == "pallas"
+        )
         and all(cm2_supported(*g) for g in dbs)
     )
 

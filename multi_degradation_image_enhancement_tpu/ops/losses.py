@@ -31,6 +31,7 @@ from multi_degradation_image_enhancement_tpu.ops.perceptual import (
     VGG19Features,
     init_frozen_params,
 )
+from multi_degradation_image_enhancement_tpu.ops.ssim import masked_mean
 from multi_degradation_image_enhancement_tpu.ops.ssim import ssim as ssim_fn
 
 _SOBEL_X = jnp.array([[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]], jnp.float32)
@@ -72,6 +73,7 @@ class LossPipeline:
         targets: Optional[jax.Array] = None,
         inputs: Optional[jax.Array] = None,
         is_paired: bool = True,
+        mask: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         components: Dict[str, jax.Array] = {}
         total = jnp.zeros((), dtype=jnp.float32)
@@ -80,7 +82,7 @@ class LossPipeline:
                 continue
             if term.mode == "unpaired" and is_paired:
                 continue
-            val = term.fn(outputs=outputs, targets=targets, inputs=inputs)
+            val = term.fn(outputs=outputs, targets=targets, inputs=inputs, mask=mask)
             val = jnp.mean(val) if val.ndim != 0 else val
             components[term.name] = val
             total = total + term.weight * val
@@ -120,27 +122,27 @@ def build_loss_pipeline(
 def _make_term(name: str, args: Dict[str, Any]) -> Callable[..., jax.Array]:
     if name == "mse":
 
-        def mse(outputs, targets=None, inputs=None):
+        def mse(outputs, targets=None, inputs=None, mask=None):
             _require_targets("mse", targets)
-            return jnp.mean(jnp.square(outputs - targets))
+            return masked_mean(jnp.square(outputs - targets), mask)
 
         return mse
 
     if name == "l1":
 
-        def l1(outputs, targets=None, inputs=None):
+        def l1(outputs, targets=None, inputs=None, mask=None):
             _require_targets("l1", targets)
-            return jnp.mean(jnp.abs(outputs - targets))
+            return masked_mean(jnp.abs(outputs - targets), mask)
 
         return l1
 
     if name == "charbonnier":
         eps = float(args.get("eps", 1e-3))
 
-        def charbonnier(outputs, targets=None, inputs=None):
+        def charbonnier(outputs, targets=None, inputs=None, mask=None):
             _require_targets("charbonnier", targets)
             diff = outputs - targets
-            return jnp.mean(jnp.sqrt(diff * diff + eps * eps))
+            return masked_mean(jnp.sqrt(diff * diff + eps * eps), mask)
 
         return charbonnier
 
@@ -151,19 +153,19 @@ def _make_term(name: str, args: Dict[str, Any]) -> Callable[..., jax.Array]:
             module, [jnp.zeros((1, 32, 32, 3), jnp.float32)], "vgg19_features.npz"
         )
 
-        def vgg_perceptual(outputs, targets=None, inputs=None):
+        def vgg_perceptual(outputs, targets=None, inputs=None, mask=None):
             _require_targets("vgg_perceptual", targets)
             fo = module.apply(variables, outputs)
             ft = module.apply(variables, targets)
-            return jnp.mean(jnp.square(fo - ft))
+            return masked_mean(jnp.square(fo - ft), mask)
 
         return vgg_perceptual
 
     if name == "ssim":
 
-        def ssim_loss(outputs, targets=None, inputs=None):
+        def ssim_loss(outputs, targets=None, inputs=None, mask=None):
             _require_targets("ssim", targets)
-            return 1.0 - ssim_fn(outputs, targets)
+            return 1.0 - ssim_fn(outputs, targets, mask=mask)
 
         return ssim_loss
 
@@ -178,22 +180,23 @@ def _make_term(name: str, args: Dict[str, Any]) -> Callable[..., jax.Array]:
             f"lpips_{net}.npz",
         )
 
-        def lpips(outputs, targets=None, inputs=None):
+        def lpips(outputs, targets=None, inputs=None, mask=None):
             _require_targets("lpips", targets)
-            return module.apply(variables, outputs, targets)
+            per_sample = module.apply(variables, outputs, targets)  # [B]
+            return masked_mean(per_sample, mask)
 
         return lpips
 
     if name == "gradient_l1":
         to_gray = bool(args.get("to_gray", False))
 
-        def gradient_l1(outputs, targets=None, inputs=None):
+        def gradient_l1(outputs, targets=None, inputs=None, mask=None):
             _require_targets("gradient_l1", targets)
             x, y = outputs, targets
             if to_gray:
                 x = rgb_to_luma(x) if x.shape[-1] == 3 else jnp.mean(x, axis=-1, keepdims=True)
                 y = rgb_to_luma(y) if y.shape[-1] == 3 else jnp.mean(y, axis=-1, keepdims=True)
-            return jnp.mean(jnp.abs(sobel_gradients(x) - sobel_gradients(y)))
+            return masked_mean(jnp.abs(sobel_gradients(x) - sobel_gradients(y)), mask)
 
         return gradient_l1
 

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from multi_degradation_image_enhancement_tpu.ops.perceptual import LPIPS, init_frozen_params
+from multi_degradation_image_enhancement_tpu.ops.ssim import masked_mean
 from multi_degradation_image_enhancement_tpu.ops.ssim import psnr as psnr_fn
 from multi_degradation_image_enhancement_tpu.ops.ssim import ssim as ssim_fn
 
@@ -51,6 +52,7 @@ class MetricsPipeline:
         targets: Optional[jax.Array] = None,
         inputs: Optional[jax.Array] = None,
         is_paired: bool = True,
+        mask: Optional[jax.Array] = None,
     ) -> Dict[str, jax.Array]:
         out: Dict[str, jax.Array] = {}
         for item in self.metrics:
@@ -58,7 +60,7 @@ class MetricsPipeline:
                 continue
             if item.mode == "unpaired" and is_paired:
                 continue
-            val = item.fn(outputs=outputs, targets=targets, inputs=inputs)
+            val = item.fn(outputs=outputs, targets=targets, inputs=inputs, mask=mask)
             out[item.name] = jnp.mean(val) if val.ndim != 0 else val
         return out
 
@@ -83,17 +85,17 @@ def build_metrics_pipeline(
 
         if name == "psnr":
 
-            def psnr(outputs, targets=None, inputs=None):
+            def psnr(outputs, targets=None, inputs=None, mask=None):
                 _require_targets("psnr", targets)
-                return psnr_fn(outputs, targets)
+                return psnr_fn(outputs, targets, mask=mask)
 
             metrics.append(MetricItem("psnr", mode, psnr))
 
         elif name == "ssim":
 
-            def ssim(outputs, targets=None, inputs=None):
+            def ssim(outputs, targets=None, inputs=None, mask=None):
                 _require_targets("ssim", targets)
-                return ssim_fn(outputs, targets)
+                return ssim_fn(outputs, targets, mask=mask)
 
             metrics.append(MetricItem("ssim", mode, ssim))
 
@@ -108,9 +110,9 @@ def build_metrics_pipeline(
                 f"lpips_{net}.npz",
             )
 
-            def lpips(outputs, targets=None, inputs=None, _m=module, _v=variables):
+            def lpips(outputs, targets=None, inputs=None, mask=None, _m=module, _v=variables):
                 _require_targets("lpips", targets)
-                return _m.apply(_v, outputs, targets)
+                return masked_mean(_m.apply(_v, outputs, targets), mask)
 
             metrics.append(MetricItem("lpips", mode, lpips))
 

@@ -220,8 +220,9 @@ class LPIPS(nn.Module):
     """LPIPS distance (net_type ∈ alex/vgg/squeeze, like torchmetrics).
 
     Per tap: channel-unit-normalize both feature maps, squared difference,
-    learned non-negative 1×1 "lin" weights, spatial mean; sum layers, mean
-    over batch.
+    learned non-negative 1×1 "lin" weights, spatial mean; sum layers.
+    Returns the per-sample distances ``[B]`` (callers reduce — a mask-aware
+    mean for pad-and-mask partial batches, plain mean otherwise).
     """
 
     net_type: str = "alex"
@@ -258,7 +259,7 @@ class LPIPS(nn.Module):
             )
             d = d @ jnp.abs(lin)  # non-negative weighting, [B,h,w,1]
             total = total + jnp.mean(d, axis=(1, 2, 3))  # [B]
-        return jnp.mean(total)
+        return total
 
 
 # ---------------------------------------------------------------------------

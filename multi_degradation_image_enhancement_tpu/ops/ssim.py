@@ -33,16 +33,36 @@ def _resolve_data_range(
     return jnp.asarray(float(data_range), preds.dtype)
 
 
+def masked_mean(x: jax.Array, mask: Optional[jax.Array]) -> jax.Array:
+    """Mean over all elements of the valid samples.
+
+    ``mask`` is a per-sample validity vector [B] of {0,1}; ``None`` means all
+    valid.  Because every sample has the same element count, the mean over
+    valid elements equals the mask-weighted mean of per-sample means — which
+    is how it's computed (shape-stable under jit, used by pad-and-mask
+    partial batches).
+    """
+    if mask is None:
+        return jnp.mean(x)
+    per_sample = jnp.mean(x.reshape(x.shape[0], -1), axis=1)
+    m = mask.astype(per_sample.dtype)
+    return jnp.sum(per_sample * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
 def psnr(
-    preds: jax.Array, target: jax.Array, data_range: DataRange = "auto"
+    preds: jax.Array,
+    target: jax.Array,
+    data_range: DataRange = "auto",
+    mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Peak signal-to-noise ratio over the whole batch (one scalar).
 
     Matches ``torchmetrics.PeakSignalNoiseRatio`` defaults: MSE reduced over
-    every element, ``10·log10(range² / mse)``.
+    every element, ``10·log10(range² / mse)``.  ``mask`` restricts the MSE
+    to valid samples (pad-and-mask partial batches).
     """
     dr = _resolve_data_range(preds, target, data_range)
-    mse = jnp.mean(jnp.square(preds - target))
+    mse = masked_mean(jnp.square(preds - target), mask)
     return 10.0 * jnp.log10(jnp.square(dr) / mse)
 
 
@@ -76,11 +96,13 @@ def ssim(
     sigma: float = 1.5,
     k1: float = 0.01,
     k2: float = 0.03,
+    mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Structural similarity (Wang et al.), one scalar over the batch.
 
     Inputs are NHWC; torchmetrics semantics (Gaussian window, valid-mode
     windows, elementwise mean over all valid positions/channels/samples).
+    ``mask`` restricts the mean to valid samples.
     """
     dr = _resolve_data_range(preds, target, data_range)
     c1 = jnp.square(k1 * dr)
@@ -100,4 +122,4 @@ def ssim(
 
     num = (2.0 * mu_x * mu_y + c1) * (2.0 * sigma_xy + c2)
     den = (mu_x * mu_x + mu_y * mu_y + c1) * (sigma_x + sigma_y + c2)
-    return jnp.mean(num / den)
+    return masked_mean(num / den, mask)

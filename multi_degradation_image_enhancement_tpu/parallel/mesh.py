@@ -93,12 +93,26 @@ def shard_train_step(step_fn, mesh: Mesh):
     """
     rep = replicated(mesh)
     bsh = batch_sharding(mesh)
-    return jax.jit(
+    msh = NamedSharding(mesh, P(DATA_AXIS))  # [B] validity mask, batch-sharded
+    jit4 = jax.jit(
         step_fn,
         in_shardings=(rep, bsh, bsh, rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
     )
+    jit5 = jax.jit(
+        step_fn,
+        in_shardings=(rep, bsh, bsh, rep, msh),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+    def call(state, inputs, targets, dropout_key, mask=None):
+        if mask is None:
+            return jit4(state, inputs, targets, dropout_key)
+        return jit5(state, inputs, targets, dropout_key, mask)
+
+    return call
 
 
 def shard_eval_step(step_fn, mesh: Mesh):

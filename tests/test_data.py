@@ -96,9 +96,12 @@ def test_loader_over_paired_dirs(tmp_path):
     _write_pngs(tgt, names)
     ds = PairedDataset(inp, tgt, transform=TRANSFORM_CFG)
     loader = DeviceDataLoader(ds, batch_size=2, shuffle=True, seed=7)
-    assert len(loader) == 3  # ceil(5/2), partial last batch kept
+    assert len(loader) == 3  # ceil(5/2), partial last batch kept (padded)
     batches = list(loader)
-    assert [b[0].shape[0] for b in batches] == [2, 2, 1]
+    # every batch is padded to full size; the mask marks the valid rows
+    assert [b[0].shape[0] for b in batches] == [2, 2, 2]
+    assert [int(b[2].sum()) for b in batches] == [2, 2, 1]
+    assert list(np.asarray(batches[2][2])) == [1.0, 0.0]
     assert batches[0][0].shape[1:] == (16, 24, 3)
 
 
@@ -107,8 +110,9 @@ def test_loader_synthetic_on_device_degrade():
         degradation="low_light", n_images=4, transform=TRANSFORM_CFG
     )
     loader = DeviceDataLoader(ds, batch_size=2, shuffle=False)
-    (deg, clean) = next(iter(loader))
+    (deg, clean, mask) = next(iter(loader))
     assert deg.shape == clean.shape == (2, 16, 24, 3)
+    assert mask.shape == (2,) and float(mask.sum()) == 2.0
     # low_light multiplies by ≤0.4, so degraded must be darker than clean
     assert float(deg.mean()) < float(clean.mean()) * 0.6
 
@@ -119,8 +123,9 @@ def test_unpaired_dataset_and_loader(tmp_path):
     ds = UnpairedDataset(root, transform=TRANSFORM_CFG)
     loader = DeviceDataLoader(ds, batch_size=2)
     batches = list(loader)
-    assert batches[0].shape == (2, 16, 24, 3)
-    assert batches[1].shape == (1, 16, 24, 3)
+    assert batches[0][0].shape == (2, 16, 24, 3)
+    assert batches[1][0].shape == (2, 16, 24, 3)  # padded to full size
+    assert [int(b[1].sum()) for b in batches] == [2, 1]
 
 
 def test_epoch_shuffling_is_deterministic_but_varies(tmp_path):
@@ -132,3 +137,14 @@ def test_epoch_shuffling_is_deterministic_but_varies(tmp_path):
     assert np.allclose(a1, a2)  # same seed+epoch → same order & augs
     b1 = np.asarray(next(iter(l1))[1])  # epoch 2
     assert not np.allclose(a1, b1)
+
+
+def test_loader_single_shape_per_epoch(tmp_path):
+    """Every yielded batch has the full batch shape — a jitted consumer
+    compiles exactly once per dataset (VERDICT r2 item 8)."""
+    ds = SyntheticPairedDataset(degradation="noise", n_images=5, transform=TRANSFORM_CFG)
+    loader = DeviceDataLoader(ds, batch_size=2, shuffle=False)
+    shapes = {tuple(b[0].shape) for b in loader}
+    assert len(shapes) == 1
+    masks = [tuple(np.asarray(b[2])) for b in loader]
+    assert masks == [(1.0, 1.0), (1.0, 1.0), (1.0, 0.0)]

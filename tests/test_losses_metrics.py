@@ -181,3 +181,39 @@ def test_vgg_and_lpips_terms_run(xy):
     assert float(res_same["lpips"]) == pytest.approx(0.0, abs=1e-6)
     res2 = pipe(xj, targets=yj)
     assert float(res2["total"]) == pytest.approx(float(res["total"]), rel=1e-6)
+
+
+def test_masked_pipelines_equal_unpadded():
+    """Pad-and-mask partial batches: pipelines on a padded batch with a
+    validity mask give exactly the values of the unpadded batch (the
+    reference computes partial-batch means directly)."""
+    import numpy as np
+
+    from multi_degradation_image_enhancement_tpu.ops.losses import build_loss_pipeline
+    from multi_degradation_image_enhancement_tpu.ops.metrics import build_metrics_pipeline
+
+    rng = np.random.RandomState(0)
+    out_v = jnp.asarray(rng.rand(3, 16, 24, 3), jnp.float32)
+    tgt_v = jnp.asarray(rng.rand(3, 16, 24, 3), jnp.float32)
+    # pad to 5 by repeating the last sample (loader semantics)
+    pad = lambda x: jnp.concatenate([x, jnp.tile(x[-1:], (2, 1, 1, 1))])
+    mask = jnp.asarray([1.0, 1.0, 1.0, 0.0, 0.0])
+
+    lp = build_loss_pipeline(
+        {"terms": [
+            {"name": "mse", "weight": 1.0},
+            {"name": "charbonnier", "weight": 0.5},
+            {"name": "ssim", "weight": 0.3},
+            {"name": "gradient_l1", "weight": 0.2},
+        ]}
+    )
+    ref = lp(out_v, targets=tgt_v)
+    got = lp(pad(out_v), targets=pad(tgt_v), mask=mask)
+    for k in ref:
+        assert abs(float(ref[k]) - float(got[k])) < 1e-5, k
+
+    mp = build_metrics_pipeline({"items": [{"name": "psnr"}, {"name": "ssim"}]})
+    mref = mp(out_v, targets=tgt_v)
+    mgot = mp(pad(out_v), targets=pad(tgt_v), mask=mask)
+    for k in mref:
+        assert abs(float(mref[k]) - float(mgot[k])) < 1e-4, k
