@@ -254,6 +254,8 @@ class Model(BaseModel):
         self.state: Optional[TrainState] = None
         self._jit_train_step = None
         self._jit_eval_step = None
+        self._writer_pool = None
+        self._writer_futures: List[Any] = []
 
         # Results must be self-describing about perceptual-weight parity:
         # record which feature nets run on converted pretrained weights vs
@@ -593,6 +595,15 @@ class Model(BaseModel):
         return loaded["params"], loaded["batch_stats"]
 
     def _save_batch_outputs(self, outputs: np.ndarray, start_index: int, prefix: str):
+        """Queue one batch of outputs for PNG encoding on the writer pool.
+
+        Encoding/writing runs on background threads (same design as the
+        serving CLI's ``data/streaming.py`` writer pool) so the next device
+        batch never waits on PIL; only the D2H readback happens here.
+        ``_drain_writers`` at the end of the test loop surfaces the first
+        writer failure.  Reference analogue: the serialized per-image loop in
+        ``/root/reference/models/model.py:70-91``.
+        """
         if not self.save_cfg.get("enabled", True):
             return
         out_dir = self.save_cfg.get("output_dir", "outputs/")
@@ -600,11 +611,28 @@ class Model(BaseModel):
         resize_hw = self.save_cfg.get("resize_hw")
         fmt = self.save_cfg.get("format", "png")
         arr = np.clip(np.asarray(outputs) * 255.0, 0, 255).astype(np.uint8)
-        for i in range(arr.shape[0]):
-            img = Image.fromarray(arr[i])
+
+        def encode(frame, path):
+            img = Image.fromarray(frame)
             if resize_hw is not None:
                 img = img.resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
-            img.save(os.path.join(out_dir, f"{prefix}{start_index + i + 1}.{fmt}"))
+            img.save(path)
+
+        if self._writer_pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._writer_pool = ThreadPoolExecutor(max_workers=4)
+        for i in range(arr.shape[0]):
+            self._writer_futures.append(
+                self._writer_pool.submit(
+                    encode, arr[i], os.path.join(out_dir, f"{prefix}{start_index + i + 1}.{fmt}")
+                )
+            )
+
+    def _drain_writers(self):
+        futures, self._writer_futures = self._writer_futures, []
+        for f in futures:
+            f.result()
 
     def test_step(self):
         params, batch_stats = self._load_for_eval()
@@ -653,6 +681,7 @@ class Model(BaseModel):
                 if max_save is not None and out_counter >= max_save:
                     break
 
+            self._drain_writers()  # surface any PNG writer failure
             denom = max(1, n_batches)
             pre_loss_avg = {k: v / denom for k, v in pre_loss_sums.items()}
             pre_met_avg = {k: v / denom for k, v in pre_metric_sums.items()}
@@ -707,6 +736,7 @@ class Model(BaseModel):
                 if max_save is not None and out_counter >= max_save:
                     break
 
+            self._drain_writers()  # surface any PNG writer failure
             if self.logging_enabled and self.logger is not None:
                 self.logger.log_test({"type": "test", "stage": "unpaired", "batches": int(n_batches)})
                 self.logger.set_summary(

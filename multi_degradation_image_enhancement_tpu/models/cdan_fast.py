@@ -358,9 +358,18 @@ def build_serving_apply(
 
     def apply_fn(x: jax.Array) -> jax.Array:
         _, h, w, _ = x.shape
-        return cm_fn(x) if cm_forward_supported(h, w) else v1_fn(x)
+        if _SERVING_PREFER_CM and cm_forward_supported(h, w):
+            return cm_fn(x)
+        return v1_fn(x)
 
     return apply_fn
+
+
+# Measured A/B at B=128·256² (PERF.md round 3): the all-CM forward currently
+# trails the per-DenseBlock fused path (43.5 vs 40.8 ms) — XLA's NCHW convs
+# and the CM entry glue give back more than the DB boundary transposes save.
+# The CM path stays built/tested; flip when its conv kernels beat XLA NHWC.
+_SERVING_PREFER_CM = False
 
 
 def build_fast_apply(

@@ -48,10 +48,11 @@ def pack_conv(kernel: jax.Array, bias: jax.Array) -> Dict[str, jax.Array]:
 
 def _kernel(
     x_ref,  # [n, c_in, HW]
-    a_ref,  # [3*c_h, 3*c_in] (this split's row block)
-    b_ref,  # [c_h, 1]
+    a_ref,  # [1, 3*c_h, 3*c_in] (this split's row block)
+    b_ref,  # [1, c_h, 1]
     out_ref,  # [n, c_h, HW] (this split's channel block)
-    xpad,  # scratch [c_in, n*l_img] bf16
+    xpad,  # scratch [c_in, n*l_img] f32 (rolled — Mosaic lane rotate is f32)
+    x3,  # scratch [3*c_in, n*l_img] bf16 (dx-tap stack)
     *,
     c_in: int,
     c_outp: int,
@@ -63,6 +64,13 @@ def _kernel(
     out_dtype,
     interpret: bool,
 ):
+    """Input-side dx taps: the stack x3 = [roll(x,+1)·mask; x; roll(x,−1)·mask]
+    turns the 3×3 conv into ONE matmul ``A[3c_h, 3c_in] @ x3[3c_in, L]`` (dy
+    rides the M axis, combined by two ±W lane rolls of c_h rows).  Versus the
+    original output-side dx formulation (three K=c_in matmuls + rolls/masks
+    on [3c_h, L] f32), the per-lane VPU work drops from ~6·3c_out rows to
+    ~4·c_in + 4·c_h rows and the matmul K widens 3× — measured 2,944 →
+    (see PERF.md round 3) at the serving shape."""
     L = n_img * l_img
     halo = w_img
     q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
@@ -70,29 +78,28 @@ def _kernel(
     has_next = jnp.where(col == w_img - 1, 0.0, 1.0)
     has_prev = jnp.where(col == 0, 0.0, 1.0)
 
-    # The halo'd input scratch is shared by every c_out split of this image
-    # block (the split axis is the innermost grid dim) — build it once.
+    # The halo'd input + tap stack are shared by every c_out split of this
+    # image block (the split axis is the innermost grid dim) — build once.
     @pl.when(pl.program_id(1) == 0)
     def _build():
-        xpad[:, :] = jnp.zeros((c_in, L), jnp.bfloat16)
+        xpad[:, :] = jnp.zeros((c_in, L), jnp.float32)
         for j in range(n_img):
             xpad[:, j * l_img + halo : j * l_img + halo + hw] = x_ref[j].astype(
-                jnp.bfloat16
+                jnp.float32
             )
+        v = xpad[:, :]
+        x3[0:c_in, :] = (_roll(v, 1, interpret=interpret) * has_prev).astype(jnp.bfloat16)
+        x3[c_in : 2 * c_in, :] = v.astype(jnp.bfloat16)
+        x3[2 * c_in :, :] = (_roll(v, -1, interpret=interpret) * has_next).astype(
+            jnp.bfloat16
+        )
 
-    v = xpad[:, :]
-
-    def tap(dx_block):
-        return jax.lax.dot_general(
-            a_ref[0, :, dx_block * c_in : (dx_block + 1) * c_in],
-            v,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [3*c_h, L]
-
-    u = tap(1)
-    u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
-    u = u + _roll(tap(2), -1, interpret=interpret) * has_next
+    u = jax.lax.dot_general(
+        a_ref[0],
+        x3[:, :],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [3*c_h, L]
     g = (
         _roll(u[0:c_outp, :], w_img, interpret=interpret)
         + u[c_outp : 2 * c_outp, :]
@@ -107,8 +114,10 @@ def _kernel(
 
 
 def _bytes_per_lane(c_in: int, c_h: int, c_outp: int, hw: int, l_img: int) -> int:
-    # xpad bf16 + ~3 live f32 [3*c_h, L] intermediates + in/out HBM blocks
-    return 2 * c_in + 3 * 4 * 3 * c_h + (2 * c_in + 2 * c_outp) * hw // l_img
+    # xpad f32 + x3 stack bf16 + U/g f32 [3c_h]/[c_h] + in/out HBM blocks
+    return 4 * c_in + 2 * 3 * c_in + 4 * 3 * c_h + 4 * c_h + (
+        2 * c_in + 2 * c_outp
+    ) * hw // l_img
 
 
 def _pick_split(c_outp: int, c_in: int, hw: int, l_img: int) -> int:
@@ -185,7 +194,10 @@ def conv3x3_cm(
         ],
         out_specs=pl.BlockSpec((n, c_h, hw), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, c_outp, hw), x_cm.dtype),
-        scratch_shapes=[pltpu.VMEM((c_in, n * l_img), jnp.bfloat16)],
+        scratch_shapes=[
+            pltpu.VMEM((c_in, n * l_img), jnp.float32),
+            pltpu.VMEM((3 * c_in, n * l_img), jnp.bfloat16),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x_cm, a_split, b_split)

@@ -124,8 +124,16 @@ def test_serving_apply_dispatches_by_shape():
     import unittest.mock as mock
 
     with mock.patch.object(cdan_fast, "build_fast_apply_cm", return_value=fake_cm), \
+         mock.patch.object(cdan_fast, "build_fast_apply", return_value=fake_v1), \
+         mock.patch.object(cdan_fast, "_SERVING_PREFER_CM", True):
+        fn = cdan_fast.build_serving_apply({}, jnp.float32)
+        fn(jnp.zeros((1, 32, 48, 3)))   # supported -> cm
+        fn(jnp.zeros((1, 8, 8, 3)))     # w%16 != 0 -> v1
+    assert calls == ["cm", "v1"]
+    # default preference: v1 until the CM path measures faster (PERF.md)
+    calls.clear()
+    with mock.patch.object(cdan_fast, "build_fast_apply_cm", return_value=fake_cm), \
          mock.patch.object(cdan_fast, "build_fast_apply", return_value=fake_v1):
         fn = cdan_fast.build_serving_apply({}, jnp.float32)
-    fn(jnp.zeros((1, 32, 48, 3)))   # supported -> cm
-    fn(jnp.zeros((1, 8, 8, 3)))     # w%16 != 0 -> v1
-    assert calls == ["cm", "v1"]
+        fn(jnp.zeros((1, 32, 48, 3)))
+    assert calls == ["v1"]
