@@ -214,6 +214,7 @@ def main() -> None:
         with open(os.path.join(args.workdir, f"{name}_run.json")) as f:
             return json.load(f)["run_dir"]
 
+    ref_run = None
     if args.stage in ("all", "ref"):
         # --- reference (torch CPU, dependency shims) ---
         ref_env = dict(base_env)
@@ -226,9 +227,8 @@ def main() -> None:
         _mark("ref", ref_run)
         if args.stage == "ref":
             return
-    else:
-        ref_run = _load_mark("ref")
 
+    our_run = None
     if args.stage in ("all", "ours"):
         # --- ours (JAX CPU by default; strip the axon TPU site so
         # JAX_PLATFORMS sticks.  --ours-tpu keeps the production backend.) ---
@@ -247,9 +247,9 @@ def main() -> None:
         _mark("ours", our_run)
         if args.stage == "ours":
             return
-    else:
-        our_run = _load_mark("ours")
 
+    ref_run = ref_run or _load_mark("ref")
+    our_run = our_run or _load_mark("ours")
     ref_m = extract_metrics(ref_run)
     our_m = extract_metrics(our_run)
     result = {
