@@ -91,9 +91,24 @@ class RoutedRestorer:
         self.mode = mode
         self.capacity_factor = float(capacity_factor)
         self.variables = stacked_variables
+        # Pad the bank so the expert axis shards evenly over the mesh (e.g.
+        # the 9-expert production bank on a 2- or 4-way expert axis): dummy
+        # experts replicate expert 0 and are never routed to — the dispatch
+        # one-hot has only n_real columns, padded with zeros below.
+        self.n_pad = 0
         if mesh is not None and EXPERT_AXIS in mesh.axis_names:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
+            axis = mesh.shape[EXPERT_AXIS]
+            n_real = len(self.expert_names)
+            self.n_pad = (-n_real) % axis
+            if self.n_pad:
+                self.variables = jax.tree.map(
+                    lambda x: jnp.concatenate(
+                        [x] + [x[:1]] * self.n_pad, axis=0
+                    ),
+                    self.variables,
+                )
             sh = NamedSharding(mesh, P(EXPERT_AXIS))
             self.variables = jax.tree.map(lambda x: jax.device_put(x, sh), self.variables)
         self._restore = jax.jit(self._build(), static_argnames=())
@@ -105,6 +120,7 @@ class RoutedRestorer:
 
     def _build(self) -> Callable:
         n_experts = len(self.expert_names)
+        n_pad = self.n_pad
         apply_bank = jax.vmap(self._apply_one)
 
         if self.mode == "top1":
@@ -116,6 +132,8 @@ class RoutedRestorer:
                 active = jnp.any(probs >= thresholds, axis=-1)  # clean → passthrough
 
                 onehot = jax.nn.one_hot(expert_id, n_experts) * active[:, None]  # [B,E]
+                if n_pad:  # mesh-padding experts get all-zero dispatch columns
+                    onehot = jnp.pad(onehot, ((0, 0), (0, n_pad)))
                 position = (jnp.cumsum(onehot, axis=0) - 1.0) * onehot  # rank in bucket
                 keep = (position < capacity).astype(images.dtype) * onehot
                 # dispatch[B, E, C]
