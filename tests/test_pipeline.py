@@ -83,3 +83,24 @@ def test_expert_parallel_sharding(bank):
             jax.tree.map(lambda v: v[e], stacked), xb[i : i + 1], train=False
         )
         np.testing.assert_allclose(np.asarray(out[i]), np.asarray(direct[0]), atol=1e-4)
+
+
+def test_expert_bank_pads_to_mesh_axis(bank):
+    """A 3-expert bank on a 2-way expert axis pads to 4 (dummy experts get
+    all-zero dispatch columns) and routes exactly like the unsharded bank."""
+    from multi_degradation_image_enhancement_tpu.parallel.mesh import create_mesh
+
+    net, names, stacked = bank
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >=4 virtual devices")
+    mesh = create_mesh({"data": 2, "expert": 2}, jax.devices()[:4])
+    x = jnp.asarray(np.random.RandomState(3).rand(6, 16, 24, 3), jnp.float32)
+    probs = jnp.asarray(
+        [[0.9, 0.1, 0.1], [0.1, 0.8, 0.2], [0.0, 0.1, 0.7]] * 2, jnp.float32
+    )
+    plain = RoutedRestorer(net, names, stacked, mode="top1")
+    sharded = RoutedRestorer(net, names, stacked, mode="top1", mesh=mesh)
+    assert sharded.n_pad == 1
+    a = plain(x, probs, [0.5, 0.5, 0.5])
+    b = sharded(x, probs, [0.5, 0.5, 0.5])
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
