@@ -291,7 +291,8 @@ def test_lpips_alex_formula_matches_torch():
 
     fmod = LPIPS(net_type="alex")
     variables = _load(fmod, [jnp.zeros((1, 64, 64, 3)), jnp.zeros((1, 64, 64, 3))], npz)
-    ours = float(fmod.apply(variables, jnp.asarray(x), jnp.asarray(y)))
+    # LPIPS returns per-sample distances [B]; compare the batch means
+    ours = float(jnp.mean(fmod.apply(variables, jnp.asarray(x), jnp.asarray(y))))
 
     shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
     scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
@@ -316,7 +317,7 @@ def test_lpips_vgg_and_squeeze_run():
     for net in ("vgg", "squeeze"):
         mod = LPIPS(net_type=net)
         variables = mod.init(jax.random.key(0), x, x)
-        val = float(mod.apply(variables, x, jnp.ones_like(x) * 0.5))
+        val = float(jnp.mean(mod.apply(variables, x, jnp.ones_like(x) * 0.5)))
         assert np.isfinite(val) and val >= 0.0
 
 
