@@ -105,10 +105,24 @@ def main() -> None:
         task = task.strip()
         if not task:
             continue
-        try:
-            run_task(args.root, task, args.epochs, args.batch, args.height, args.width)
-        except Exception as e:  # keep the queue moving; record the failure
-            print(f"[ours_r3] {task} FAILED: {e}", flush=True)
+        if os.path.exists(os.path.join(args.root, task, "recal_ab.json")):
+            print(f"[ours_r3] {task}: recal_ab.json exists, skipping", flush=True)
+            continue
+        # The axon-tunneled TPU backend intermittently refuses to initialize
+        # ("TPU backend setup/compile error (Unavailable)"), typically under
+        # contention; retry each task a few times before recording a failure.
+        last_err = None
+        for attempt in range(3):
+            try:
+                run_task(args.root, task, args.epochs, args.batch, args.height, args.width)
+                last_err = None
+                break
+            except Exception as e:  # keep the queue moving; record the failure
+                last_err = e
+                print(f"[ours_r3] {task} attempt {attempt + 1} FAILED: {e}", flush=True)
+                import time
+                time.sleep(60)
+        if last_err is not None:
             failures.append(task)
     if failures:
         print(f"[ours_r3] failed tasks: {failures}", flush=True)
