@@ -194,6 +194,11 @@ _CM_CONV_IMPL: Dict[str, str] = {
     "de4": "xla",
 }
 
+# Run the DenseBlock kernels' per-layer affine+ReLU+mask in bf16 instead of
+# f32 (the matmuls already consume bf16; their accumulate stays f32 either
+# way).  Captured at build time; benchmarks patch it to A/B.
+_DB_BF16_ACT = False
+
 
 def _maxpool2x2_cm(x: jax.Array, hw_shape) -> jax.Array:
     """2×2 max-pool on channel-major ``[B, C, H·W]`` (stride-2 lane max)."""
@@ -250,8 +255,13 @@ def build_fast_apply_cm(
             return _conv_cm_xla(x_cm, conv_packs[name], hw)
         return conv3x3_cm(x_cm, conv_packs[name], hw_shape=hw, interpret=interpret)
 
+    bf16_act = _DB_BF16_ACT
+
     def dense_block(x_cm, name, c_in, hw):
-        out = _run_cm2(x_cm, db_packed[name], c_in=c_in, hw_shape=hw, interpret=interpret)
+        out = _run_cm2(
+            x_cm, db_packed[name], c_in=c_in, hw_shape=hw,
+            bf16_act=bf16_act, interpret=interpret,
+        )
         return out  # [B, ceil16(c_out), HW]
 
     def cbam(x_cm, name, hw):
@@ -426,6 +436,8 @@ def build_fast_apply(
         k, b = folded[name]
         return nn.relu(_conv2d(x, k, b, dtype))
 
+    bf16_act = _DB_BF16_ACT
+
     def dense_block(x, name, c_in):
         c_out = c_in  # every CDAN DenseBlock is channel-preserving
         bsz, h, w = x.shape[0], x.shape[1], x.shape[2]
@@ -434,12 +446,14 @@ def build_fast_apply(
             # packing and interior extraction live inside the kernel.
             xcm = x.transpose(0, 3, 1, 2).reshape(bsz, c_in, h * w)
             out_cm = _run_cm2(
-                xcm, db_packed[name], c_in=c_in, hw_shape=(h, w), interpret=interpret
+                xcm, db_packed[name], c_in=c_in, hw_shape=(h, w),
+                bf16_act=bf16_act, interpret=interpret,
             )
             return (
                 out_cm[:, :c_out, :].reshape(bsz, c_out, h, w).transpose(0, 2, 3, 1)
             )
-        out_cm = _run_cm(x, db_packed[name], c_in=c_in, interpret=interpret)
+        out_cm = _run_cm(x, db_packed[name], c_in=c_in, bf16_act=bf16_act,
+                         interpret=interpret)
         return out_cm[:, :c_out, :].transpose(0, 2, 1).reshape(bsz, h, w, c_out)
 
     def cbam(x, name):

@@ -94,6 +94,33 @@ def test_cm2_fused_io_matches_module(c_in, h, w):
     assert float(jnp.abs(ref - got).mean()) < 5e-3
 
 
+@pytest.mark.parametrize("c_in,h,w", [(64, 32, 48), (3, 16, 24)])
+def test_cm2_bf16_activate_matches_module(c_in, h, w):
+    """bf16 affine+ReLU+mask variant stays inside the kernel's bf16-class
+    tolerance vs the Flax module (matmul accumulate is f32 either way)."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import (
+        _run_cm2,
+        pack_params_cm,
+    )
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(2, h, w, c_in), jnp.float32)
+    m = DenseBlock(c_in)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    bs = jax.tree.map(
+        lambda t: jnp.asarray(rng.uniform(0.5, 1.5, t.shape), t.dtype), v["batch_stats"]
+    )
+    ref = m.apply({"params": v["params"], "batch_stats": bs}, x, train=False)
+    packed = pack_params_cm(v["params"], bs, c_in)
+    xcm = x.transpose(0, 3, 1, 2).reshape(2, c_in, h * w)
+    out_cm = _run_cm2(
+        xcm, packed, c_in=c_in, hw_shape=(h, w), bf16_act=True, interpret=True
+    )
+    got = out_cm[:, :c_in, :].reshape(2, c_in, h, w).transpose(0, 2, 3, 1)
+    assert float(jnp.abs(ref - got).max()) < 5e-2
+    assert float(jnp.abs(ref - got).mean()) < 5e-3
+
+
 def test_cm_dense_block_tiled_mode(monkeypatch):
     """Force the row-tiled blocking (big-grid path) and check halo math."""
     from multi_degradation_image_enhancement_tpu.ops.pallas import dense_block_cm
