@@ -153,6 +153,61 @@ def main() -> None:
 
     timed("train step (per-block remat)", run_remat)
 
+    # fused-DenseBlock variant (trainable Pallas growth kernel, custom VJP)
+    model_f = CDAN(dtype=jnp.bfloat16, fused_dense=True)
+    state_f = build_state(model_f)
+
+    @jax.jit
+    def fwd_f(params, bs, x, k):
+        out, _ = model_f.apply(
+            {"params": params, "batch_stats": bs}, x, train=True,
+            mutable=["batch_stats"], rngs={"dropout": k},
+        )
+        return out
+
+    timed(
+        "forward fused (train mode)",
+        lambda i: fwd_f(
+            state_f.params, state_f.batch_stats, x01, jax.random.fold_in(key, i)
+        ),
+    )
+
+    @jax.jit
+    def train_fused(state, c, k):
+        kd, ks = jax.random.split(k)
+        x = apply_degradation("noise", c, kd) / 255.0
+        new_state, loss = make_train_step(model_f, loss_pipe)(state, x, c / 255.0, ks)
+        return new_state, loss["total"]
+
+    st_f = state_f
+
+    def run_fused(i):
+        nonlocal st_f
+        st_f, l = train_fused(st_f, clean, jax.random.fold_in(key, i))
+        return l
+
+    timed("train step (fused DenseBlocks)", run_fused)
+
+    # fused + per-block remat (memory headroom probe for large batches)
+    model_fr = CDAN(dtype=jnp.bfloat16, fused_dense=True, remat=True)
+    state_fr = build_state(model_fr)
+
+    @jax.jit
+    def train_fused_r(state, c, k):
+        kd, ks = jax.random.split(k)
+        x = apply_degradation("noise", c, kd) / 255.0
+        new_state, loss = make_train_step(model_fr, loss_pipe)(state, x, c / 255.0, ks)
+        return new_state, loss["total"]
+
+    st_fr = state_fr
+
+    def run_fused_r(i):
+        nonlocal st_fr
+        st_fr, l = train_fused_r(st_fr, clean, jax.random.fold_in(key, i))
+        return l
+
+    timed("train step (fused + remat)", run_fused_r)
+
 
 if __name__ == "__main__":
     main()

@@ -187,15 +187,22 @@ class DeviceDataLoader:
         q: Queue = Queue(maxsize=2)
 
         def producer():
-            for bi, (idxs, n_valid) in enumerate(batches):
-                host = self._host_batch(idxs)
-                # channel-second for the H2D copy (overlapped with device
-                # compute by this prefetch thread); see pipeline note above.
-                host = np.ascontiguousarray(
-                    np.moveaxis(host, -1, -3)
-                )
-                q.put((bi, host, n_valid))
-            q.put(None)
+            # Decode failures must reach the consumer: without the sentinel
+            # in a finally, an exception here would leave the consumer
+            # blocked on q.get() forever (same contract as
+            # data/streaming.py's producer).
+            try:
+                for bi, (idxs, n_valid) in enumerate(batches):
+                    host = self._host_batch(idxs)
+                    # channel-second for the H2D copy (overlapped with device
+                    # compute by this prefetch thread); see pipeline note above.
+                    host = np.ascontiguousarray(
+                        np.moveaxis(host, -1, -3)
+                    )
+                    q.put((bi, host, n_valid))
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -204,6 +211,8 @@ class DeviceDataLoader:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise item
             bi, host, n_valid = item
             key = jax.random.fold_in(epoch_key, bi)
             yield _with_mask(self._pipeline(jnp.asarray(host), key), n_valid)

@@ -201,6 +201,12 @@ class Model(BaseModel):
         self.precision = precision
         if precision == "bf16" and hasattr(network, "dtype"):
             network = network.clone(dtype=jnp.bfloat16)
+        # train.fused_dense routes DenseBlocks through the trainable
+        # channel-major Pallas kernel (custom VJP, ops/pallas/growth_train.py)
+        if (cfg.get("train", {}) or {}).get("fused_dense") and hasattr(
+            network, "fused_dense"
+        ):
+            network = network.clone(fused_dense=True)
         self.network = network
 
         grad_clip = (cfg.get("train", {}) or {}).get("grad_clip")

@@ -65,6 +65,52 @@ class ConvBlock(nn.Module):
         return nn.relu(x)
 
 
+class _BNVars(nn.Module):
+    """Owns BatchNorm variables with ``nn.BatchNorm``-identical tree layout.
+
+    Used by the fused DenseBlock path, which computes the normalization
+    itself (incremental concat stats + a Pallas affine+ReLU+conv kernel) but
+    must keep checkpoints interchangeable with the canonical path.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+        return scale, bias, ra_mean, ra_var
+
+
+class _ConvVars(nn.Module):
+    """Owns conv kernel+bias with ``nn.Conv``-identical tree layout/init."""
+
+    kshape: Tuple[int, int, int, int]
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kshape, jnp.float32
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.kshape[-1],), jnp.float32)
+        return kernel, bias
+
+
+def _channel_stats(t_cm: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-channel (mean, biased var) of ``[B, C, HW]`` — Flax
+    ``_compute_stats`` semantics: f32, E[x²]−E[x]², negatives clipped."""
+    tf = t_cm.astype(jnp.float32)
+    mu = jnp.mean(tf, axis=(0, 2))
+    mu2 = jnp.mean(jnp.square(tf), axis=(0, 2))
+    return mu, jnp.maximum(mu2 - jnp.square(mu), 0.0)
+
+
 class DenseBlock(nn.Module):
     """DenseNet-style block (reference ``models/cdan.py:22-53``).
 
@@ -77,6 +123,11 @@ class DenseBlock(nn.Module):
     its [B·H·W, 9F] intermediate costs gigabytes of padded HBM traffic at
     full resolution (honest timing: final DB @256² 137 ms tap-packed).  The
     dedicated Pallas fused kernel is the planned fast path.
+
+    ``fused=True`` routes the growth layers through the trainable
+    channel-major Pallas kernel (``ops/pallas/growth_train.py``, custom VJP)
+    with BatchNorm computed incrementally in XLA — same variable tree, same
+    math (gradient-equivalence tested), usable in train AND eval mode.
     """
 
     features: int
@@ -84,9 +135,19 @@ class DenseBlock(nn.Module):
     num_layers: int = 4
     dtype: jnp.dtype = jnp.float32
     stats_refresh: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.fused and self.growth_rate == 16:
+            from multi_degradation_image_enhancement_tpu.ops.pallas.growth_train import (
+                growth_supported,
+            )
+
+            h_img, w_img, c0 = x.shape[1], x.shape[2], x.shape[3]
+            cs = [c0 + self.growth_rate * i for i in range(self.num_layers)]
+            if all(growth_supported(h_img, w_img, c) for c in cs):
+                return self._fused_impl(x, train)
         norm = train or self.stats_refresh
         feats = x
         for i in range(self.num_layers):
@@ -106,6 +167,82 @@ class DenseBlock(nn.Module):
         out = nn.relu(out)
         out = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="conv_t")(out)
         return out
+
+    def _fused_impl(self, x: jax.Array, train: bool) -> jax.Array:
+        """Channel-major fused path: growth layers via the custom-VJP Pallas
+        kernel; BN stats incremental (per-channel stats of a concat are the
+        concat of per-channel stats, so each layer only measures its 16 new
+        channels).  Variable tree identical to the canonical branch."""
+        from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import (
+            _ceil16,
+        )
+        from multi_degradation_image_enhancement_tpu.ops.pallas.growth_train import (
+            growth_layer_cm,
+            pack_growth,
+        )
+
+        interp = jax.default_backend() != "tpu"
+        norm = train or self.stats_refresh
+        bsz, h_img, w_img, c0 = x.shape
+        hw = h_img * w_img
+        feats = x.transpose(0, 3, 1, 2).reshape(bsz, c0, hw)
+
+        mus: list = []
+        var_list: list = []
+        if norm:
+            mu, var = _channel_stats(feats)
+            mus.append(mu)
+            var_list.append(var)
+
+        c = c0
+        for i in range(self.num_layers):
+            scale, bn_bias, ra_mean, ra_var = _BNVars(c, name=f"bn_{i}")()
+            if norm:
+                mean = jnp.concatenate(mus) if len(mus) > 1 else mus[0]
+                var = jnp.concatenate(var_list) if len(var_list) > 1 else var_list[0]
+                if not self.is_initializing():
+                    ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                    ra_var.value = 0.9 * ra_var.value + 0.1 * var
+            else:
+                mean, var = ra_mean.value, ra_var.value
+            a = scale * jax.lax.rsqrt(var + 1e-5)
+            b = bn_bias - mean * a
+            kernel, cbias = _ConvVars((3, 3, c, self.growth_rate), name=f"conv_{i}")()
+            A_pack = pack_growth(kernel, _ceil16(c))
+            g = growth_layer_cm(
+                feats, a, b, A_pack, cbias, c, (h_img, w_img), interp
+            )
+            if norm:
+                gm, gv = _channel_stats(g)
+                mus.append(gm)
+                var_list.append(gv)
+            feats = jnp.concatenate([feats, g], axis=1)
+            c += self.growth_rate
+
+        scale, bn_bias, ra_mean, ra_var = _BNVars(c, name="bn_t")()
+        if norm:
+            mean = jnp.concatenate(mus)
+            var = jnp.concatenate(var_list)
+            if not self.is_initializing():
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        a = scale * jax.lax.rsqrt(var + 1e-5)
+        b = bn_bias - mean * a
+        vt = jnp.maximum(
+            feats.astype(jnp.float32) * a[None, :, None] + b[None, :, None], 0.0
+        )
+        kernel_t, bias_t = _ConvVars((1, 1, c, self.features), name="conv_t")()
+        out_cm = (
+            jnp.einsum(
+                "cf,bcl->bfl",
+                kernel_t[0, 0].astype(self.dtype),
+                vt.astype(self.dtype),
+            )
+            + bias_t[None, :, None].astype(self.dtype)
+        )
+        return out_cm.reshape(bsz, self.features, h_img, w_img).transpose(0, 2, 3, 1)
 
 
 def _block_classes(remat: bool):
@@ -131,6 +268,7 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     stats_refresh: bool = False
+    fused_dense: bool = False
 
     @nn.compact
     def __call__(
@@ -144,19 +282,19 @@ class Encoder(nn.Module):
 
         out = Conv(64, dtype=self.dtype, stats_refresh=sr, name="conv1")(x, train)
         out = nn.max_pool(out, (2, 2), strides=(2, 2))
-        denses.append(Dense(64, dtype=self.dtype, stats_refresh=sr, name="dense1")(out, train))
+        denses.append(Dense(64, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="dense1")(out, train))
         out = drop(out)
         skips.append(out)
 
         out = Conv(128, dtype=self.dtype, stats_refresh=sr, name="conv2")(out, train)
         out = nn.max_pool(out, (2, 2), strides=(2, 2))
-        denses.append(Dense(128, dtype=self.dtype, stats_refresh=sr, name="dense2")(out, train))
+        denses.append(Dense(128, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="dense2")(out, train))
         out = drop(out)
         skips.append(out)
 
         out = Conv(256, dtype=self.dtype, stats_refresh=sr, name="conv3")(out, train)
         out = nn.max_pool(out, (2, 2), strides=(2, 2))
-        denses.append(Dense(256, dtype=self.dtype, stats_refresh=sr, name="dense3")(out, train))
+        denses.append(Dense(256, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="dense3")(out, train))
         out = drop(out)
         skips.append(out)
 
@@ -177,6 +315,7 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     stats_refresh: bool = False
+    fused_dense: bool = False
 
     @nn.compact
     def __call__(
@@ -220,7 +359,7 @@ class Decoder(nn.Module):
         out = _bilinear_x2(out)
         out = out + x  # global residual (reference cdan.py:154)
 
-        out = Dense(3, dtype=self.dtype, stats_refresh=sr, name="final_dense")(out, train)
+        out = Dense(3, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="final_dense")(out, train)
         return jax.nn.sigmoid(out)
 
 
@@ -247,17 +386,20 @@ class CDAN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     stats_refresh: bool = False
+    fused_dense: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
         _, _, Cbam = _block_classes(self.remat)
         sr = self.stats_refresh
         out, skips, denses = Encoder(
-            dtype=self.dtype, remat=self.remat, stats_refresh=sr, name="encoder"
+            dtype=self.dtype, remat=self.remat, stats_refresh=sr,
+            fused_dense=self.fused_dense, name="encoder"
         )(x, train=train)
         out = Cbam(512, dtype=self.dtype, stats_refresh=sr, name="bottleneck")(out, train)
         out = Decoder(
-            dtype=self.dtype, remat=self.remat, stats_refresh=sr, name="decoder"
+            dtype=self.dtype, remat=self.remat, stats_refresh=sr,
+            fused_dense=self.fused_dense, name="decoder"
         )(x, out, skips, denses, train=train)
         # Return in the compute dtype's fp32 form for stable losses/metrics.
         return out.astype(jnp.float32)

@@ -1,0 +1,430 @@
+"""Pallas TPU kernels: trainable fused DenseBlock growth layer (custom VJP).
+
+The serving DenseBlock kernels (``dense_block_cm.py``) are inference-only:
+BN is folded to a per-channel affine and there is no backward.  Training
+therefore runs the canonical Flax module, whose NHWC elementwise/conv work
+at C ∈ {3..67} wastes up to 42/43 of every lane — the measured reason a
+train step is ~14× slower per image than a serving step (PERF.md).
+
+This module makes the hot piece of that path trainable:
+
+    g = conv3x3_{c→16}( relu(x·a + b) )          (one DenseBlock layer)
+
+as a channel-major Pallas kernel pair wrapped in ``jax.custom_vjp``.
+``a, b`` are the *batch-stat* BatchNorm affine coefficients — computed by
+XLA outside the kernel (they are cheap per-channel reductions), so Flax
+BatchNorm semantics (biased batch variance, f32 stats, momentum-0.9 running
+updates) stay exactly where autodiff can see them; the kernel only ever
+sees an affine.
+
+Forward: identical machinery to ``dense_block_cm._kernel2`` — features as
+``[C, L]`` with channels on sublanes and flattened pixels on lanes, the
+3×3 conv as three ``A_dx[48, c] @ v[c, L]`` matmuls whose dx taps are ±1
+lane rolls of the *output* and dy taps ±W rolls of the combined rows.
+
+Backward: one rolled tap-stack ``dgs[144, L]`` (rows (dy, dx, o) =
+``roll(dg, (dy-1)·W + (dx-1))`` with W-edge masks) feeds BOTH gradients as
+single big-K matmuls —
+
+    dv[c, L]    = A_bwd[c, 144] @ dgs            (then dx = dv·1[z>0]·a)
+    dA[144, c]  = dgs @ vᵀ                        (K = L: ideal MXU shape)
+
+plus per-channel reductions for da/db.  dA/da/db accumulate across the
+sequential TPU grid (one revisited output block).
+
+Reference workload: the training loop over ``models/cdan.py:22-53``
+DenseBlocks (``/root/reference/models/model.py:138-227``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import (
+    _ceil16,
+    _roll,
+)
+
+GROWTH = 16
+HALO_ROWS = 2  # one 3×3 conv: support is ±(W+1) lanes; 2 rows cover it
+
+# Backward working set is the planner's binding case (dgs + vs + dv + I/O).
+_VMEM_TARGET_BYTES = 96 * 1024 * 1024
+
+
+def pack_growth(kernel: jax.Array, c_pad: int) -> jax.Array:
+    """HWIO ``[3, 3, c, 16]`` → ``[48, 3·c_pad]`` (rows (dy, o), col-blocks dx).
+
+    Pure jnp so autodiff maps the packed-weight gradient back to HWIO.
+    """
+    _, _, c, _ = kernel.shape
+    k = jnp.pad(kernel, ((0, 0), (0, 0), (0, c_pad - c), (0, 0)))
+    return k.transpose(0, 3, 1, 2).reshape(3 * GROWTH, 3 * c_pad)
+
+
+def _fwd_kernel(
+    x_ref,  # [n, c, HW]
+    a_ref,  # [cp, 1] f32
+    b_ref,  # [cp, 1] f32
+    A_ref,  # [48, 3cp] bf16
+    bias_ref,  # [16, 1] f32
+    out_ref,  # [n, 16, HW]
+    vs,  # scratch [cp, n*l_img] bf16 — inside-masked ReLU activations
+    *,
+    c_in: int,
+    c0p: int,
+    w_img: int,
+    halo: int,
+    hw: int,
+    l_img: int,
+    n_img: int,
+    out_dtype,
+    interpret: bool,
+):
+    L = n_img * l_img
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    col = q % w_img
+    has_next = jnp.where(col == w_img - 1, 0.0, 1.0)
+    has_prev = jnp.where(col == 0, 0.0, 1.0)
+
+    # v = relu(x·a + b), zero outside image interiors (exact SAME padding).
+    vs[...] = jnp.zeros((c0p, L), jnp.bfloat16)
+    for j in range(n_img):
+        z = (
+            x_ref[j].astype(jnp.float32) * a_ref[0:c_in, :] + b_ref[0:c_in, :]
+        )
+        vs[0:c_in, j * l_img + halo : j * l_img + halo + hw] = jnp.maximum(
+            z, 0.0
+        ).astype(jnp.bfloat16)
+
+    v = vs[...]
+
+    def tap(blk):
+        return jax.lax.dot_general(
+            A_ref[:, blk * c0p : (blk + 1) * c0p],
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [48, L]
+
+    u = tap(1)
+    u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
+    u = u + _roll(tap(2), -1, interpret=interpret) * has_next
+    g = (
+        _roll(u[0:GROWTH, :], w_img, interpret=interpret)
+        + u[GROWTH : 2 * GROWTH, :]
+        + _roll(u[2 * GROWTH : 3 * GROWTH, :], -w_img, interpret=interpret)
+    ) + bias_ref[:]
+    g = g.astype(out_dtype)
+    for j in range(n_img):
+        out_ref[j, :, :] = g[:, j * l_img + halo : j * l_img + halo + hw]
+
+
+def _bwd_kernel(
+    x_ref,  # [n, c, HW]
+    dg_ref,  # [n, 16, HW]
+    a_ref,  # [cp, 1] f32
+    b_ref,  # [cp, 1] f32
+    Ab_ref,  # [cp, 144] bf16 — backward-packed weights
+    dx_ref,  # [n, c, HW] out
+    dA_ref,  # [144, cp] f32 out, accumulated across grid
+    da_ref,  # [cp, 1] f32 out, accumulated
+    db_ref,  # [cp, 1] f32 out, accumulated
+    vs,  # scratch [cp, L] bf16
+    dgs,  # scratch [144, L] bf16
+    *,
+    c_in: int,
+    c0p: int,
+    w_img: int,
+    halo: int,
+    hw: int,
+    l_img: int,
+    n_img: int,
+    out_dtype,
+    interpret: bool,
+):
+    L = n_img * l_img
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    col = q % w_img
+    has_next = jnp.where(col == w_img - 1, 0.0, 1.0)
+    has_prev = jnp.where(col == 0, 0.0, 1.0)
+    ones = jnp.ones((1, L), jnp.float32)
+
+    # Recompute v (cheap; x is the saved residual).
+    vs[...] = jnp.zeros((c0p, L), jnp.bfloat16)
+    for j in range(n_img):
+        z = (
+            x_ref[j].astype(jnp.float32) * a_ref[0:c_in, :] + b_ref[0:c_in, :]
+        )
+        vs[0:c_in, j * l_img + halo : j * l_img + halo + hw] = jnp.maximum(
+            z, 0.0
+        ).astype(jnp.bfloat16)
+
+    # dg packed with zero halos, f32 for the lane rolls.
+    dgp = jnp.zeros((GROWTH, L), jnp.float32)
+    for j in range(n_img):
+        dgp = jax.lax.dynamic_update_slice(
+            dgp,
+            dg_ref[j].astype(jnp.float32),
+            (0, j * l_img + halo),
+        )
+
+    # dgs rows (i, j, o): roll(dg, (i-1)·W + (j-1)) with the dx mask applied
+    # at the destination (j=0 ⇒ has_next, j=2 ⇒ has_prev — the W-periodic
+    # image of the forward's source-side mask).
+    masks = (has_next, ones, has_prev)
+    for i in range(3):
+        for jj in range(3):
+            s = (i - 1) * w_img + (jj - 1)
+            blk = (i * 3 + jj) * GROWTH
+            dgs[blk : blk + GROWTH, :] = (
+                _roll(dgp, s, interpret=interpret) * masks[jj]
+            ).astype(jnp.bfloat16)
+
+    dgs_all = dgs[...]
+    v = vs[...]
+
+    # dv = A_bwd @ dgs  (K = 144)
+    dv = jax.lax.dot_general(
+        Ab_ref[:],
+        dgs_all,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [cp, L]
+    m = (v > 0).astype(jnp.float32)  # vs > 0 ⟺ z > 0 ∧ inside
+    dvm = dv * m
+    dx_full = dvm * a_ref[:]
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _init():
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    # dA[144, cp] += dgs @ vᵀ  (K = L: the MXU-friendly contraction)
+    dA_ref[...] += jax.lax.dot_general(
+        dgs_all,
+        v,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_ref[...] += jnp.sum(dvm, axis=1, keepdims=True)
+
+    da = jnp.zeros((c_in, 1), jnp.float32)
+    for j in range(n_img):
+        sl = dvm[0:c_in, j * l_img + halo : j * l_img + halo + hw]
+        da = da + jnp.sum(
+            sl * x_ref[j].astype(jnp.float32), axis=1, keepdims=True
+        )
+        dx_ref[j, :, :] = dx_full[
+            0:c_in, j * l_img + halo : j * l_img + halo + hw
+        ].astype(out_dtype)
+    da_ref[0:c_in, :] += da
+
+
+def _plan_n(b: int, c_in: int, hw: int, l_img: int) -> int:
+    """Images per grid step so the backward working set fits VMEM."""
+    cp = _ceil16(c_in)
+    bytes_per_lane = (
+        2 * cp  # vs
+        + 2 * 144  # dgs
+        + 4 * cp  # dv transient
+        + 4 * 48  # fwd tap transients (fwd bound is looser; keep one budget)
+        + (2 * 2 * c_in + 2 * 2 * GROWTH) * hw // l_img  # x/dx/dg/out blocks
+    )
+    l_max = _VMEM_TARGET_BYTES // bytes_per_lane
+    n = 1
+    for cand in range(min(max(l_max // l_img, 1), b), 0, -1):
+        if b % cand == 0:
+            n = cand
+            break
+    return n
+
+
+def growth_supported(h_img: int, w_img: int, c_in: int) -> bool:
+    """Whether one whole image fits the packed working set at the VMEM target."""
+    hw = h_img * w_img
+    l_img = hw + 2 * HALO_ROWS * w_img
+    cp = _ceil16(c_in)
+    bytes_per_lane = (
+        2 * cp + 2 * 144 + 4 * cp + 4 * 48 + (4 * c_in + 4 * GROWTH) * hw // l_img
+    )
+    return l_img <= _VMEM_TARGET_BYTES // bytes_per_lane
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c_in", "hw_shape", "interpret")
+)
+def _fwd_call(x_cm, a, b, A_pack, bias, *, c_in, hw_shape, interpret):
+    bsz, _, hw = x_cm.shape
+    h_img, w_img = hw_shape
+    halo = HALO_ROWS * w_img
+    l_img = hw + 2 * halo
+    c0p = _ceil16(c_in)
+    n = _plan_n(bsz, c_in, hw, l_img)
+    g = bsz // n
+
+    a2 = jnp.pad(a.astype(jnp.float32), (0, c0p - c_in))[:, None]
+    b2 = jnp.pad(b.astype(jnp.float32), (0, c0p - c_in))[:, None]
+    A2 = A_pack.astype(jnp.bfloat16)
+    bias2 = bias.astype(jnp.float32)[:, None]
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        c_in=c_in,
+        c0p=c0p,
+        w_img=w_img,
+        halo=halo,
+        hw=hw,
+        l_img=l_img,
+        n_img=n,
+        out_dtype=x_cm.dtype,
+        interpret=interpret,
+    )
+    const2 = lambda i: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((n, c_in, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(a2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(A2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias2.shape, const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (n, GROWTH, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, GROWTH, hw), x_cm.dtype),
+        scratch_shapes=[pltpu.VMEM((c0p, n * l_img), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x_cm, a2, b2, A2, bias2)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c_in", "hw_shape", "interpret")
+)
+def _bwd_call(x_cm, dg, a, b, A_pack, *, c_in, hw_shape, interpret):
+    bsz, _, hw = x_cm.shape
+    h_img, w_img = hw_shape
+    halo = HALO_ROWS * w_img
+    l_img = hw + 2 * halo
+    c0p = _ceil16(c_in)
+    n = _plan_n(bsz, c_in, hw, l_img)
+    g = bsz // n
+
+    a2 = jnp.pad(a.astype(jnp.float32), (0, c0p - c_in))[:, None]
+    b2 = jnp.pad(b.astype(jnp.float32), (0, c0p - c_in))[:, None]
+    # A_bwd[c, (i,j,o)] = A_pack[(i, o), (j, c)]
+    Ab = (
+        A_pack.reshape(3, GROWTH, 3, c0p)
+        .transpose(3, 0, 2, 1)
+        .reshape(c0p, 9 * GROWTH)
+        .astype(jnp.bfloat16)
+    )
+
+    kernel = functools.partial(
+        _bwd_kernel,
+        c_in=c_in,
+        c0p=c0p,
+        w_img=w_img,
+        halo=halo,
+        hw=hw,
+        l_img=l_img,
+        n_img=n,
+        out_dtype=x_cm.dtype,
+        interpret=interpret,
+    )
+    const2 = lambda i: (0, 0)
+    dx, dA_all, da, db = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((n, c_in, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, GROWTH, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(a2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(Ab.shape, const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n, c_in, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * GROWTH, c0p), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c0p, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c0p, 1), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c_in, hw), x_cm.dtype),
+            jax.ShapeDtypeStruct((9 * GROWTH, c0p), jnp.float32),
+            jax.ShapeDtypeStruct((c0p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c0p, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c0p, n * l_img), jnp.bfloat16),
+            pltpu.VMEM((9 * GROWTH, n * l_img), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(x_cm, dg, a2, b2, Ab)
+
+    # dA back to the forward packing [48, 3cp]: rows (i,j,o) → [(i,o),(j,c)]
+    dA_pack = (
+        dA_all.reshape(3, 3, GROWTH, c0p)
+        .transpose(0, 2, 1, 3)
+        .reshape(3 * GROWTH, 3 * c0p)
+    )
+    da_out = da[0:c_in, 0]
+    db_out = db[0:c_in, 0]
+    return dx, dA_pack, da_out, db_out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def growth_layer_cm(x_cm, a, b, A_pack, bias, c_in, hw_shape, interpret=False):
+    """Fused ``conv3x3_{c→16}(relu(x·a+b))`` on channel-major ``[B, c, HW]``.
+
+    ``a, b``: per-channel affine (batch-stat BN), f32 ``[c]``.
+    ``A_pack``: :func:`pack_growth` output ``[48, 3·ceil16(c)]``.
+    Returns ``[B, 16, HW]`` in ``x_cm.dtype``.  Differentiable in
+    ``x_cm, a, b, A_pack, bias`` via hand-written Pallas backward.
+    """
+    return _fwd_call(
+        x_cm, a, b, A_pack, bias, c_in=c_in, hw_shape=hw_shape, interpret=interpret
+    )
+
+
+def _vjp_fwd(x_cm, a, b, A_pack, bias, c_in, hw_shape, interpret):
+    g = _fwd_call(
+        x_cm, a, b, A_pack, bias, c_in=c_in, hw_shape=hw_shape, interpret=interpret
+    )
+    return g, (x_cm, a, b, A_pack, bias)
+
+
+def _vjp_bwd(c_in, hw_shape, interpret, res, dg):
+    x_cm, a, b, A_pack, bias = res
+    dx, dA_pack, da, db = _bwd_call(
+        x_cm, dg, a, b, A_pack, c_in=c_in, hw_shape=hw_shape, interpret=interpret
+    )
+    dbias = jnp.sum(dg.astype(jnp.float32), axis=(0, 2))
+    return (
+        dx,
+        da.astype(a.dtype),
+        db.astype(b.dtype),
+        dA_pack.astype(A_pack.dtype),
+        dbias.astype(bias.dtype),
+    )
+
+
+growth_layer_cm.defvjp(_vjp_fwd, _vjp_bwd)

@@ -148,3 +148,30 @@ def test_loader_single_shape_per_epoch(tmp_path):
     assert len(shapes) == 1
     masks = [tuple(np.asarray(b[2])) for b in loader]
     assert masks == [(1.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+
+
+def test_loader_decode_failure_propagates(tmp_path):
+    """A decode error in the prefetch thread must raise in the consumer
+    (not hang the iterator) — same contract as data/streaming.py.
+
+    (The native decoder zero-fills unreadable files by documented design,
+    so the raise path is exercised by failing the host-batch step itself.)"""
+    inp, tgt = str(tmp_path / "deg"), str(tmp_path / "clean")
+    names = [f"{i}.png" for i in range(4)]
+    _write_pngs(inp, names)
+    _write_pngs(tgt, names)
+    ds = PairedDataset(inp, tgt, transform=TRANSFORM_CFG)
+    loader = DeviceDataLoader(ds, batch_size=2, shuffle=False)
+
+    calls = {"n": 0}
+    orig = loader._host_batch
+
+    def failing(idxs):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated mid-epoch decode failure")
+        return orig(idxs)
+
+    loader._host_batch = failing
+    with pytest.raises(OSError, match="simulated mid-epoch"):
+        list(loader)
