@@ -1,0 +1,63 @@
+#!/bin/bash
+# Round-3 master TPU queue — strictly serialized (one TPU process at a time;
+# concurrent TPU procs corrupt each other's numbers AND trip the axon
+# backend's flaky init).  Run AFTER any other TPU user has exited:
+#   nohup bash tools/r3_tpu_queue.sh > /tmp/r3_queue.log 2>&1 &
+#
+# Stages (each idempotent / skip-complete):
+#   B. remaining reduced-scale parity ours runs + BN-recal A/Bs (VERDICT 3)
+#   C. full-recipe longrun ours: noise 80ep 256x384 b16 (VERDICT 4)
+#   D. perceptual-term substitution A/B on the jpeg recipe (VERDICT 5)
+#   E. classifier at reference scale, on-device synthetic (VERDICT 6)
+set -u
+cd /root/repo
+export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
+
+echo "=== R3 QUEUE START $(date) ==="
+
+echo "=== stage B: parity ours (reduced-scale tasks) $(date) ==="
+python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
+  --tasks jpeg,pixelation,pixelation_easy,motion_blur,high_light,low_contrast,color_distortion \
+  || echo "=== stage B had failures (see above) ==="
+
+echo "=== stage C: full_noise longrun ours (80ep 256x384 b16) $(date) ==="
+if [ ! -f /tmp/parity_r3/full_noise/ours_run.json ]; then
+  for i in 1 2 3; do
+    timeout 7200 python tools/parity/run_parity.py \
+      --workdir /tmp/parity_r3/full_noise --task noise \
+      --epochs 80 --batch 16 --height 256 --width 384 \
+      --stage ours --ours-tpu && break
+    echo "=== stage C attempt $i failed; retrying $(date) ==="
+    sleep 60
+  done
+else
+  echo "stage C already complete"
+fi
+
+echo "=== stage D: perceptual A/B (jpeg) $(date) ==="
+if [ ! -f /tmp/parity_r3/jpeg/perceptual_ab.json ]; then
+  for i in 1 2 3; do
+    timeout 7200 python tools/parity/perceptual_ab.py \
+      --workdir /tmp/parity_r3/jpeg && break
+    echo "=== stage D attempt $i failed; retrying $(date) ==="
+    sleep 60
+  done
+else
+  echo "stage D already complete"
+fi
+
+echo "=== stage E: classifier at reference scale (synthetic) $(date) ==="
+if [ ! -f runs_classifier/r3_scale/summary.json ]; then
+  for i in 1 2 3; do
+    timeout 10800 python -m multi_degradation_image_enhancement_tpu.classification.train \
+      --synthetic --synthetic_images 500 --synthetic_variants 5 \
+      --epochs 30 --batch_size 32 --bn_recal_passes 3 \
+      --run_dir runs_classifier/r3_scale && break
+    echo "=== stage E attempt $i failed; retrying $(date) ==="
+    sleep 60
+  done
+else
+  echo "stage E already complete"
+fi
+
+echo "=== R3 QUEUE COMPLETE $(date) ==="
