@@ -37,16 +37,26 @@ def sh(cmd, cwd=None, env=None) -> str:
     return res.stdout
 
 
-def run_task(root: str, task: str, epochs: int, batch: int, h: int, w: int) -> dict:
+def run_task(root: str, task: str, epochs: int, batch: int, h: int, w: int,
+             cpu: bool = False) -> dict:
     workdir = os.path.join(root, task)
     harness = os.path.join(REPO, "tools", "parity", "run_parity.py")
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    if cpu:
+        # CPU fallback (the axon TPU tunnel goes down for hours at a time):
+        # same env surgery run_parity applies for its default CPU ours stage,
+        # also applied to the recal/test subprocesses below.
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep) if "axon" not in p
+        )
+        env["JAX_PLATFORMS"] = "cpu"
 
     sh(
         [sys.executable, harness, "--workdir", workdir, "--task", task,
          "--epochs", str(epochs), "--batch", str(batch),
-         "--height", str(h), "--width", str(w), "--stage", "ours", "--ours-tpu"],
+         "--height", str(h), "--width", str(w), "--stage", "ours"]
+        + ([] if cpu else ["--ours-tpu"]),
         env=env,
     )
     with open(os.path.join(workdir, "ours_run.json")) as f:
@@ -98,6 +108,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--height", type=int, default=128)
     ap.add_argument("--width", type=int, default=192)
+    ap.add_argument("--cpu", action="store_true",
+                    help="run the ours stage on JAX CPU (TPU tunnel down)")
     args = ap.parse_args()
 
     failures = []
@@ -114,7 +126,8 @@ def main() -> None:
         last_err = None
         for attempt in range(3):
             try:
-                run_task(args.root, task, args.epochs, args.batch, args.height, args.width)
+                run_task(args.root, task, args.epochs, args.batch,
+                         args.height, args.width, cpu=args.cpu)
                 last_err = None
                 break
             except Exception as e:  # keep the queue moving; record the failure

@@ -15,10 +15,14 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 
 echo "=== R3 QUEUE START $(date) ==="
 
-echo "=== stage B: parity ours (reduced-scale tasks) $(date) ==="
-python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
-  --tasks jpeg,pixelation,pixelation_easy,motion_blur,high_light,low_contrast,color_distortion \
-  || echo "=== stage B had failures (see above) ==="
+if [ "${R3_SKIP_B:-0}" = "1" ]; then
+  echo "=== stage B skipped (CPU parity chain owns the reduced tasks) ==="
+else
+  echo "=== stage B: parity ours (reduced-scale tasks) $(date) ==="
+  python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
+    --tasks jpeg,pixelation,pixelation_easy,motion_blur,high_light,low_contrast,color_distortion \
+    || echo "=== stage B had failures (see above) ==="
+fi
 
 echo "=== stage C: full_noise longrun ours (80ep 256x384 b16) $(date) ==="
 if [ ! -f /tmp/parity_r3/full_noise/ours_run.json ]; then
