@@ -252,3 +252,32 @@ def test_remat_train_step_matches_plain():
     assert l0 == l1
     for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_cli_train_fused_dense_cdan(tmp_path):
+    """End-to-end CLI train with ``train.fused_dense: true`` on real CDAN.
+
+    Routes every DenseBlock through the trainable Pallas growth kernel
+    (interpreter mode on CPU) inside the full jitted engine step — the
+    integration the module-level growth_train tests can't see.  Tiny
+    32x48 shapes; one epoch; asserts a finite loss and a saved checkpoint.
+    """
+    cfg = _tiny_config(tmp_path, n_epoch=1)
+    cfg["model"]["networks"] = [{"name": ["models.cdan", "CDAN"], "args": {}}]
+    cfg["train"]["fused_dense"] = True
+    cfg["train"]["dataset"]["args"]["n_images"] = 4
+    for phase in ("train", "test"):
+        for op in cfg[phase]["dataset"]["args"]["transform"]["ops"]:
+            if op["name"] == "Resize":
+                op["args"] = {"height": 32, "width": 48}
+    cfg["logging"]["checkpoints"]["enabled"] = False
+    cfg_path = tmp_path / "fused.json"
+    cfg_path.write_text(json.dumps(cfg))
+    run_cli.main(load_config(str(cfg_path), phase="train"))
+    assert os.path.isfile(tmp_path / "weights" / "tiny.pt")
+    runs = list((tmp_path / "runs" / "tiny").iterdir())
+    rows = [json.loads(l) for l in (runs[0] / "train.jsonl").read_text().splitlines()]
+    epoch_rows = [r for r in rows if r["type"] == "epoch"]
+    assert len(epoch_rows) == 1
+    assert np.isfinite(epoch_rows[0]["loss_total"])
