@@ -100,6 +100,33 @@ def run_task(root: str, task: str, epochs: int, batch: int, h: int, w: int,
     return ab
 
 
+def _active_worker(workdir: str, fresh_s: float = 900.0):
+    """Detect a concurrently-running ours stage on this task.
+
+    The round runs two workers over one task list (a CPU fallback chain and
+    the TPU queue, meeting from opposite ends); both continuously touch
+    files under ``<workdir>/ours`` while training.  Any file there modified
+    within ``fresh_s`` seconds means another worker owns the task — skip it
+    rather than corrupt its shared checkpoint path.
+    """
+    import time
+
+    ours = os.path.join(workdir, "ours")
+    newest = None
+    for dirpath, _dirnames, filenames in os.walk(ours):
+        for fn in filenames:
+            try:
+                m = os.path.getmtime(os.path.join(dirpath, fn))
+            except OSError:
+                continue
+            if newest is None or m > newest:
+                newest = m
+    if newest is not None and (time.time() - newest) < fresh_s:
+        age = time.time() - newest
+        return f"files under {ours} touched {age:.0f}s ago"
+    return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/parity_r3")
@@ -119,6 +146,11 @@ def main() -> None:
             continue
         if os.path.exists(os.path.join(args.root, task, "recal_ab.json")):
             print(f"[ours_r3] {task}: recal_ab.json exists, skipping", flush=True)
+            continue
+        owner = _active_worker(os.path.join(args.root, task))
+        if owner is not None:
+            print(f"[ours_r3] {task}: another worker is active ({owner}), skipping",
+                  flush=True)
             continue
         # The axon-tunneled TPU backend intermittently refuses to initialize
         # ("TPU backend setup/compile error (Unavailable)"), typically under

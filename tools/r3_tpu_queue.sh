@@ -15,14 +15,14 @@ export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 
 echo "=== R3 QUEUE START $(date) ==="
 
-if [ "${R3_SKIP_B:-0}" = "1" ]; then
-  echo "=== stage B skipped (CPU parity chain owns the reduced tasks) ==="
-else
-  echo "=== stage B: parity ours (reduced-scale tasks) $(date) ==="
-  python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
-    --tasks jpeg,pixelation,pixelation_easy,motion_blur,high_light,low_contrast,color_distortion \
-    || echo "=== stage B had failures (see above) ==="
-fi
+# Stage B runs the task list REVERSED relative to the CPU fallback chain
+# (which walks jpeg→…→color_distortion): the two workers meet in the middle,
+# and ours_r3.py's activity detection skips any task the other worker is
+# actively training, so neither corrupts the other's checkpoint path.
+echo "=== stage B: parity ours (reduced-scale tasks, reversed) $(date) ==="
+python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
+  --tasks color_distortion,low_contrast,high_light,motion_blur,pixelation_easy,pixelation,jpeg \
+  || echo "=== stage B had failures (see above) ==="
 
 echo "=== stage C: full_noise longrun ours (80ep 256x384 b16) $(date) ==="
 if [ ! -f /tmp/parity_r3/full_noise/ours_run.json ]; then
