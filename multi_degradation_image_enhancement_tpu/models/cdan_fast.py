@@ -199,6 +199,11 @@ _CM_CONV_IMPL: Dict[str, str] = {
 # way).  Captured at build time; benchmarks patch it to A/B.
 _DB_BF16_ACT = False
 
+# K-stack width for the DenseBlock kernels' tiny-K growth layers (None =
+# kernel default, 0 = pure roll-after-matmul).  Captured at build time;
+# benchmarks patch it to A/B (see ops/pallas/dense_block_cm._K_STACK_MAX_CI).
+_DB_K_STACK_MAX_CI = None
+
 
 def _maxpool2x2_cm(x: jax.Array, hw_shape) -> jax.Array:
     """2×2 max-pool on channel-major ``[B, C, H·W]`` (stride-2 lane max)."""
@@ -256,11 +261,12 @@ def build_fast_apply_cm(
         return conv3x3_cm(x_cm, conv_packs[name], hw_shape=hw, interpret=interpret)
 
     bf16_act = _DB_BF16_ACT
+    k_stack = _DB_K_STACK_MAX_CI
 
     def dense_block(x_cm, name, c_in, hw):
         out = _run_cm2(
             x_cm, db_packed[name], c_in=c_in, hw_shape=hw,
-            bf16_act=bf16_act, interpret=interpret,
+            bf16_act=bf16_act, k_stack_max_ci=k_stack, interpret=interpret,
         )
         return out  # [B, ceil16(c_out), HW]
 
@@ -437,6 +443,7 @@ def build_fast_apply(
         return nn.relu(_conv2d(x, k, b, dtype))
 
     bf16_act = _DB_BF16_ACT
+    k_stack = _DB_K_STACK_MAX_CI
 
     def dense_block(x, name, c_in):
         c_out = c_in  # every CDAN DenseBlock is channel-preserving
@@ -447,13 +454,13 @@ def build_fast_apply(
             xcm = x.transpose(0, 3, 1, 2).reshape(bsz, c_in, h * w)
             out_cm = _run_cm2(
                 xcm, db_packed[name], c_in=c_in, hw_shape=(h, w),
-                bf16_act=bf16_act, interpret=interpret,
+                bf16_act=bf16_act, k_stack_max_ci=k_stack, interpret=interpret,
             )
             return (
                 out_cm[:, :c_out, :].reshape(bsz, c_out, h, w).transpose(0, 2, 3, 1)
             )
         out_cm = _run_cm(x, db_packed[name], c_in=c_in, bf16_act=bf16_act,
-                         interpret=interpret)
+                         k_stack_max_ci=k_stack, interpret=interpret)
         return out_cm[:, :c_out, :].transpose(0, 2, 1).reshape(bsz, h, w, c_out)
 
     def cbam(x, name):

@@ -66,6 +66,34 @@ _VMEM_TARGET_BYTES = 64 * 1024 * 1024
 # + I/O blocks), measured safe under the 110 MB compiler limit.
 _VMEM_TARGET_BYTES_V2 = 96 * 1024 * 1024
 
+# Layers whose (padded) input width ci is at or below this run the growth
+# conv as ONE K-stacked matmul ``A[48, 3ci] @ [roll(v,+1)·m; v; roll(v,-1)·m]``
+# instead of three K=ci taps with output-side rolls.  Tiny-K matmuls drown
+# the MXU in tile-ops (a K=ci tap runs at ~ci/128 utilisation, so
+# final_dense's ci ∈ {16,32,48} taps all cost the same wall-clock as a
+# full-width matmul 3× their FLOPs); stacking triples K for a small
+# input-side roll/mask cost that only dominates at large ci (the reason the
+# roll-after-matmul form exists — see the module docstring).  0 disables.
+# Default stays 0 until the in-context A/B on real hardware lands
+# (benchmarks/ab_kstack.py — standalone kernel wins can be in-context
+# losses); flip to 48 when measured ahead.
+_K_STACK_MAX_CI = 0
+
+
+def _stack_rows(c0p: int, k_max: int) -> int:
+    """Largest f32 ``[3ci, L]`` tap-stack any K-stacked layer materialises."""
+    rows = 0
+    for i in range(NUM_LAYERS):
+        ci = c0p + GROWTH * i
+        if ci <= k_max:
+            rows = max(rows, 3 * ci)
+    return rows
+
+
+def _transient_lane_bytes(c0p: int, k_max: int) -> int:
+    """f32 transient bytes/lane: max(roll-after live set, K-stack live set)."""
+    return 4 * max(3 * 48, _stack_rows(c0p, k_max) + 48)
+
 
 def _ceil16(n: int) -> int:
     return ((n + 15) // 16) * 16
@@ -92,6 +120,7 @@ def _kernel(
     segments: Tuple[Tuple[int, int, int], ...],
     out_dtype,
     bf16_act: bool,
+    k_stack_max_ci: int,
     interpret: bool,
 ):
     """refs: (a,b,A,bias)×4 layers, (at,bt,At,biast), out_ref, feats scratch."""
@@ -137,26 +166,53 @@ def _kernel(
     for i in range(NUM_LAYERS):
         a_ref, b_ref, A_ref, bias_ref = layers[i]
         ci = c0p + GROWTH * i
-        v = activate(ci, a_ref, b_ref).astype(jnp.bfloat16)
-        # One matmul per dx tap against the UNSHIFTED activations, dx applied
-        # as a ±1 lane roll of the [48, L] result.  Rolling after the matmul
-        # is exact (the roll/mask are per-lane and commute with the channel
-        # contraction) and replaces the old [3ci, L] tap-stack scratch: the
-        # per-layer VPU traffic drops from ~8·ci row-ops (2 f32 rolls + 2
-        # masks on [ci,L] + three [ci,L] bf16 scratch writes) to ~2·48 + 2·48
-        # rolls/masks on the matmul output — the kernel's hot cost at large
-        # ci.  A's column blocks are the dx∈{-1,0,+1} taps (pack_params_cm).
-        def tap(dx_block):
-            return jax.lax.dot_general(
-                A_ref[:, dx_block * ci : (dx_block + 1) * ci],
-                v,
+        if ci <= k_stack_max_ci:
+            # K-stacked form for tiny-K layers: a K=ci tap matmul runs at
+            # ~ci/128 MXU utilisation, so three of them cost the wall-clock
+            # of a full-width matmul 3× their FLOPs; stacking the dx taps
+            # input-side triples K for ~7·ci rows of roll/mask/cast work.
+            # Rolling the INPUT with the edge mask is exact for the same
+            # commutation reason as rolling the output (per-lane ops commute
+            # with the channel contraction).  Activations compute in f32
+            # regardless of bf16_act: Mosaic lane rolls are 32-bit only.
+            f = feats[0:ci, :].astype(jnp.float32)
+            vf = jnp.maximum(f * a_ref[:] + b_ref[:], 0.0) * inside
+            stack = jnp.concatenate(
+                [
+                    _roll(vf, 1, interpret=interpret) * has_prev,
+                    vf,
+                    _roll(vf, -1, interpret=interpret) * has_next,
+                ],
+                axis=0,
+            ).astype(jnp.bfloat16)
+            u = jax.lax.dot_general(
+                A_ref[:],
+                stack,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [48, L] — rows are (dy, out_channel)
+        else:
+            v = activate(ci, a_ref, b_ref).astype(jnp.bfloat16)
+            # One matmul per dx tap against the UNSHIFTED activations, dx
+            # applied as a ±1 lane roll of the [48, L] result.  Rolling after
+            # the matmul is exact (the roll/mask are per-lane and commute
+            # with the channel contraction) and replaces the [3ci, L]
+            # tap-stack: the per-layer VPU traffic drops from ~8·ci row-ops
+            # (2 f32 rolls + 2 masks on [ci,L] + three [ci,L] bf16 scratch
+            # writes) to ~2·48 + 2·48 rolls/masks on the matmul output — the
+            # kernel's hot cost at large ci.  A's column blocks are the
+            # dx∈{-1,0,+1} taps (pack_params_cm).
+            def tap(dx_block):
+                return jax.lax.dot_general(
+                    A_ref[:, dx_block * ci : (dx_block + 1) * ci],
+                    v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [48, L] — rows are (dy, out_channel)
 
-        u = tap(1)
-        u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
-        u = u + _roll(tap(2), -1, interpret=interpret) * has_next
+            u = tap(1)
+            u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
+            u = u + _roll(tap(2), -1, interpret=interpret) * has_next
         g = (
             _roll(u[0:GROWTH, :], w_img, interpret=interpret)
             + u[GROWTH : 2 * GROWTH, :]
@@ -176,15 +232,20 @@ def _kernel(
         out_ref[0, 0, :, dst : dst + ln] = ot[:, src : src + ln]
 
 
-def _plan(h_img: int, w_img: int, c0p: int):
+def _plan(h_img: int, w_img: int, c0p: int, k_stack_max_ci: int = 0):
     """Pick packed-images vs row-tiled blocking to fit the VMEM target."""
     hw = h_img * w_img
     halo = HALO_ROWS * w_img
     l_img = hw + 2 * halo
     c_total = c0p + NUM_LAYERS * GROWTH
-    # bytes/lane: feats (bf16) + ~4 live [48,L] f32 matmul/roll transients
-    # + double-buffered input block (bf16)
-    bytes_per_lane = 2 * c_total + 4 * 4 * 48 + 2 * 2 * c0p
+    # bytes/lane: feats (bf16) + live f32 matmul/roll/stack transients
+    # + one extra [48,L] f32 in flight + double-buffered input block (bf16)
+    bytes_per_lane = (
+        2 * c_total
+        + _transient_lane_bytes(c0p, k_stack_max_ci)
+        + 4 * 48
+        + 2 * 2 * c0p
+    )
     l_max = _VMEM_TARGET_BYTES // bytes_per_lane
     if l_img <= l_max:
         return {"mode": "packed", "n_max": max(l_max // l_img, 1)}
@@ -242,13 +303,34 @@ def pack_params_cm(
     return packed
 
 
-@functools.partial(jax.jit, static_argnames=("c_in", "bf16_act", "interpret"))
 def _run_cm(
     x: jax.Array,
     packed: Dict[str, jax.Array],
     *,
     c_in: int,
     bf16_act: bool = False,
+    k_stack_max_ci: int | None = None,
+    interpret: bool,
+):
+    """Resolve the K-stack default OUTSIDE jit so benches that patch the
+    module constant (or pass an explicit value) always get a fresh trace."""
+    k = _K_STACK_MAX_CI if k_stack_max_ci is None else k_stack_max_ci
+    return _run_cm_jit(
+        x, packed, c_in=c_in, bf16_act=bf16_act, k_stack_max_ci=k,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c_in", "bf16_act", "k_stack_max_ci", "interpret")
+)
+def _run_cm_jit(
+    x: jax.Array,
+    packed: Dict[str, jax.Array],
+    *,
+    c_in: int,
+    bf16_act: bool,
+    k_stack_max_ci: int,
     interpret: bool,
 ):
     b, h_img, w_img, _ = x.shape
@@ -258,7 +340,7 @@ def _run_cm(
     c0p = _ceil16(c_in)
     c_outp = packed["At"].shape[0]
     c_total = c0p + NUM_LAYERS * GROWTH
-    plan = _plan(h_img, w_img, c0p)
+    plan = _plan(h_img, w_img, c0p, k_stack_max_ci)
 
     # NHWC → [B, c0p, halo + HW + halo] channel-major with zero halos
     xcm = x.transpose(0, 3, 1, 2).reshape(b, c_in, hw)
@@ -317,6 +399,7 @@ def _run_cm(
         segments=segments,
         out_dtype=x.dtype,
         bf16_act=bf16_act,
+        k_stack_max_ci=k_stack_max_ci,
         interpret=interpret,
     )
     if plan["mode"] == "packed":
@@ -357,6 +440,7 @@ def _kernel2(
     n_img: int,
     out_dtype,
     bf16_act: bool,
+    k_stack_max_ci: int,
     interpret: bool,
 ):
     """Fused-I/O variant: halo packing and interior extraction happen here.
@@ -403,19 +487,38 @@ def _kernel2(
     for i in range(NUM_LAYERS):
         a_ref, b_ref, A_ref, bias_ref = layers[i]
         ci = c0p + GROWTH * i
-        v = activate(ci, a_ref, b_ref).astype(jnp.bfloat16)
-
-        def tap(dx_block):
-            return jax.lax.dot_general(
-                A_ref[:, dx_block * ci : (dx_block + 1) * ci],
-                v,
+        if ci <= k_stack_max_ci:
+            # K-stacked tiny-K form — see _kernel for the rationale.
+            f = feats[0:ci, :].astype(jnp.float32)
+            vf = jnp.maximum(f * a_ref[:] + b_ref[:], 0.0) * inside
+            stack = jnp.concatenate(
+                [
+                    _roll(vf, 1, interpret=interpret) * has_prev,
+                    vf,
+                    _roll(vf, -1, interpret=interpret) * has_next,
+                ],
+                axis=0,
+            ).astype(jnp.bfloat16)
+            u = jax.lax.dot_general(
+                A_ref[:],
+                stack,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+        else:
+            v = activate(ci, a_ref, b_ref).astype(jnp.bfloat16)
 
-        u = tap(1)
-        u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
-        u = u + _roll(tap(2), -1, interpret=interpret) * has_next
+            def tap(dx_block):
+                return jax.lax.dot_general(
+                    A_ref[:, dx_block * ci : (dx_block + 1) * ci],
+                    v,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            u = tap(1)
+            u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
+            u = u + _roll(tap(2), -1, interpret=interpret) * has_next
         g = (
             _roll(u[0:GROWTH, :], w_img, interpret=interpret)
             + u[GROWTH : 2 * GROWTH, :]
@@ -435,7 +538,18 @@ def _kernel2(
         out_ref[j, :, :] = ot[:, j * l_img + halo : j * l_img + halo + hw]
 
 
-@functools.partial(jax.jit, static_argnames=("c_in", "hw_shape", "bf16_act", "interpret"))
+def _cm2_lane_bytes(c_in: int, c_outp: int, hw: int, l_img: int, k: int) -> int:
+    """VMEM bytes/lane for the fused-I/O kernel: feats (bf16) + live f32
+    matmul/roll/stack transients + the in/out blocks (hw lanes per image)."""
+    c0p = _ceil16(c_in)
+    c_total = c0p + NUM_LAYERS * GROWTH
+    return (
+        2 * c_total
+        + _transient_lane_bytes(c0p, k)
+        + (2 * c_in + 2 * c_outp) * hw // l_img
+    )
+
+
 def _run_cm2(
     x_cm: jax.Array,
     packed: Dict[str, jax.Array],
@@ -443,6 +557,7 @@ def _run_cm2(
     c_in: int,
     hw_shape: Tuple[int, int],
     bf16_act: bool = False,
+    k_stack_max_ci: int | None = None,
     interpret: bool,
 ):
     """Fused-I/O channel-major DenseBlock: ``[B, c_in, H*W] -> [B, c_outp, H*W]``.
@@ -450,7 +565,40 @@ def _run_cm2(
     Requires the packed plan to fit whole images (the common case for CDAN's
     grids at the 64 MiB VMEM target — check :func:`cm2_supported`); callers
     fall back to :func:`_run_cm` (tiled mode) otherwise.
+
+    The K-stack width degrades (48 → 32 → 16 → 0) until the tap-stack
+    transient fits the VMEM ceiling, so enabling stacking can never turn a
+    previously-supported grid into a compile-time VMEM OOM.
     """
+    k = _K_STACK_MAX_CI if k_stack_max_ci is None else k_stack_max_ci
+    h_img, w_img = hw_shape
+    hw = h_img * w_img
+    l_img = hw + 2 * HALO_ROWS * w_img
+    c_outp = packed["At"].shape[0]
+    while k > 0 and l_img > _VMEM_TARGET_BYTES_V2 // _cm2_lane_bytes(
+        c_in, c_outp, hw, l_img, k
+    ):
+        k -= GROWTH
+    return _run_cm2_jit(
+        x_cm, packed, c_in=c_in, hw_shape=hw_shape, bf16_act=bf16_act,
+        k_stack_max_ci=max(k, 0), interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("c_in", "hw_shape", "bf16_act", "k_stack_max_ci", "interpret"),
+)
+def _run_cm2_jit(
+    x_cm: jax.Array,
+    packed: Dict[str, jax.Array],
+    *,
+    c_in: int,
+    hw_shape: Tuple[int, int],
+    bf16_act: bool,
+    k_stack_max_ci: int,
+    interpret: bool,
+):
     b, _, hw = x_cm.shape
     h_img, w_img = hw_shape
     assert h_img * w_img == hw
@@ -460,9 +608,7 @@ def _run_cm2(
     c_outp = packed["At"].shape[0]
     c_total = c0p + NUM_LAYERS * GROWTH
 
-    # VMEM accounting: feats (bf16) + ~3 live [48,L] f32 transients per lane,
-    # plus the in/out blocks (hw lanes per image).
-    bytes_per_lane = 2 * c_total + 3 * 4 * 48 + (2 * c_in + 2 * c_outp) * hw // l_img
+    bytes_per_lane = _cm2_lane_bytes(c_in, c_outp, hw, l_img, k_stack_max_ci)
     # n-packing stays under the conservative 64 MiB budget (larger packs
     # measured to blow VMEM through register-allocator spill slots); a
     # single whole image may use the raised v2 ceiling.
@@ -498,6 +644,7 @@ def _run_cm2(
         n_img=n,
         out_dtype=x_cm.dtype,
         bf16_act=bf16_act,
+        k_stack_max_ci=k_stack_max_ci,
         interpret=interpret,
     )
     out = pl.pallas_call(
@@ -516,12 +663,14 @@ def _run_cm2(
 
 
 def cm2_supported(h_img: int, w_img: int, c_in: int, c_out: int) -> bool:
-    """Whether the fused-I/O packed path fits this grid at the VMEM target."""
+    """Whether the fused-I/O packed path fits this grid at the VMEM target.
+
+    Evaluated at K-stack width 0 — :func:`_run_cm2` degrades its stack width
+    to fit, so any grid supported without stacking stays supported.
+    """
     hw = h_img * w_img
     l_img = hw + 2 * HALO_ROWS * w_img
-    c0p = _ceil16(c_in)
-    c_total = c0p + NUM_LAYERS * GROWTH
-    bytes_per_lane = 2 * c_total + 3 * 4 * 48 + (2 * c_in + 2 * _ceil16(c_out)) * hw // l_img
+    bytes_per_lane = _cm2_lane_bytes(c_in, _ceil16(c_out), hw, l_img, 0)
     return l_img <= _VMEM_TARGET_BYTES_V2 // bytes_per_lane
 
 

@@ -121,6 +121,58 @@ def test_cm2_bf16_activate_matches_module(c_in, h, w):
     assert float(jnp.abs(ref - got).mean()) < 5e-3
 
 
+@pytest.mark.parametrize("c_in,h,w,k", [(3, 16, 24, 48), (3, 16, 24, 80), (64, 32, 48, 80)])
+def test_cm2_k_stacked_taps_match_module(c_in, h, w, k):
+    """K-stacked tiny-K growth layers (one [48,3ci] matmul with input-side
+    dx rolls) produce the same DenseBlock as the roll-after-matmul form.
+    k=80 forces stacking onto every layer of DB(3) and onto ci∈{64,80} of
+    DB(64), covering both the all-stacked and mixed cases."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import (
+        _run_cm2,
+        pack_params_cm,
+    )
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.rand(2, h, w, c_in), jnp.float32)
+    m = DenseBlock(c_in)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    bs = jax.tree.map(
+        lambda t: jnp.asarray(rng.uniform(0.5, 1.5, t.shape), t.dtype), v["batch_stats"]
+    )
+    ref = m.apply({"params": v["params"], "batch_stats": bs}, x, train=False)
+    packed = pack_params_cm(v["params"], bs, c_in)
+    xcm = x.transpose(0, 3, 1, 2).reshape(2, c_in, h * w)
+    out_cm = _run_cm2(
+        xcm, packed, c_in=c_in, hw_shape=(h, w), k_stack_max_ci=k, interpret=True
+    )
+    got = out_cm[:, :c_in, :].reshape(2, c_in, h, w).transpose(0, 2, 3, 1)
+    assert float(jnp.abs(ref - got).max()) < 5e-2
+    assert float(jnp.abs(ref - got).mean()) < 5e-3
+    # and the two kernel forms agree with each other to matmul-order noise
+    off = _run_cm2(
+        xcm, packed, c_in=c_in, hw_shape=(h, w), k_stack_max_ci=0, interpret=True
+    )
+    assert float(jnp.abs(out_cm - off).max()) < 2e-2
+
+
+def test_cm_k_stacked_tiled_mode(monkeypatch):
+    """K-stacked layers inside the row-tiled (v1) kernel: force tiling on a
+    DB(3) grid so the stacked path runs with halo tiles."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas import dense_block_cm
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.rand(1, 32, 16, 3), jnp.float32)
+    m = DenseBlock(3)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    ref = m.apply(v, x, train=False)
+    monkeypatch.setattr(dense_block_cm, "_VMEM_TARGET_BYTES", 300 * 1024)
+    monkeypatch.setattr(dense_block_cm, "_K_STACK_MAX_CI", 48)
+    plan = dense_block_cm._plan(32, 16, 16, 48)
+    assert plan["mode"] == "tiled" and plan["rows"] < 32
+    got = dense_block_cm.fused_dense_block_cm(x, v["params"], v["batch_stats"], interpret=True)
+    assert float(jnp.abs(ref - got).max()) < 5e-2
+
+
 def test_cm_dense_block_tiled_mode(monkeypatch):
     """Force the row-tiled blocking (big-grid path) and check halo math."""
     from multi_degradation_image_enhancement_tpu.ops.pallas import dense_block_cm
@@ -221,16 +273,14 @@ def test_cm2_vmem_plan_bounds():
     assert cm.cm2_supported(256, 384, 3, 3)
     hw = 256 * 384
     l_img = hw + 2 * cm.HALO_ROWS * 384
-    c_total = 16 + cm.NUM_LAYERS * cm.GROWTH
-    bytes_per_lane = 2 * c_total + 3 * 4 * 48 + (2 * 3 + 2 * 16) * hw // l_img
+    bytes_per_lane = cm._cm2_lane_bytes(3, 16, hw, l_img, 0)
     assert l_img > cm._VMEM_TARGET_BYTES // bytes_per_lane  # needs the ceiling
     assert l_img <= cm._VMEM_TARGET_BYTES_V2 // bytes_per_lane
 
     # 32² DB(256): packing bounded by the conservative budget (n stays small)
     hw = 32 * 32
     l_img = hw + 2 * cm.HALO_ROWS * 32
-    c_total = 256 + cm.NUM_LAYERS * cm.GROWTH
-    bytes_per_lane = 2 * c_total + 3 * 4 * 48 + (2 * 256 + 2 * 256) * hw // l_img
+    bytes_per_lane = cm._cm2_lane_bytes(256, 256, hw, l_img, cm._K_STACK_MAX_CI)
     n_max = (cm._VMEM_TARGET_BYTES // bytes_per_lane) // l_img
     assert n_max * l_img * bytes_per_lane <= cm._VMEM_TARGET_BYTES
     assert n_max < 32  # the configuration that blew VMEM
