@@ -31,9 +31,16 @@ def main() -> None:
     ap.add_argument("--width", type=int, default=384)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--only", type=str, default="")
+    ap.add_argument("--k-stack", type=int, default=0,
+                    help="growth_train._K_STACK_MAX_CI for the fused variants")
     args = ap.parse_args()
     B, H, W = args.batch, args.height, args.width
     only = [s for s in args.only.split(",") if s]
+
+    if args.k_stack:
+        from multi_degradation_image_enhancement_tpu.ops.pallas import growth_train
+        growth_train._K_STACK_MAX_CI = args.k_stack
+        print(f"[profile_train] growth K-stack width = {args.k_stack}", flush=True)
 
     from multi_degradation_image_enhancement_tpu.engine.model import make_train_step
     from multi_degradation_image_enhancement_tpu.engine.state import TrainState

@@ -35,6 +35,10 @@ echo "--- 2. train table b16 256x384 ---"
 retry timeout 5400 python benchmarks/profile_train.py --only \
 "train step (fwd+bwd+adam+synth),train step (fused DenseBlocks),train step (fused + remat)"
 
+echo "--- 2b. fused train with K-stacked growth forward ---"
+retry timeout 5400 python benchmarks/profile_train.py --k-stack 48 --only \
+"train step (fused DenseBlocks)"
+
 echo "--- 3a. fused training b128 256x256 ---"
 retry timeout 5400 python benchmarks/profile_train.py --batch 128 --height 256 --width 256 --only \
 "train step (per-block remat),train step (fused DenseBlocks),train step (fused + remat)"

@@ -57,6 +57,14 @@ HALO_ROWS = 2  # one 3×3 conv: support is ±(W+1) lanes; 2 rows cover it
 # Backward working set is the planner's binding case (dgs + vs + dv + I/O).
 _VMEM_TARGET_BYTES = 96 * 1024 * 1024
 
+# Forward growth layers at/below this padded width run as ONE K-stacked
+# ``A[48, 3cp] @ [roll(v,+1)·m; v; roll(v,-1)·m]`` matmul instead of three
+# K=cp taps — tiny-K taps run at ~cp/128 MXU utilisation (see
+# dense_block_cm._K_STACK_MAX_CI; same rationale, same A/B gating).  The
+# backward is already big-K (dv: K=144, dA: K=L) and is unchanged.
+# Default 0 until benchmarks/profile_train.py A/Bs it on hardware.
+_K_STACK_MAX_CI = 0
+
 
 def pack_growth(kernel: jax.Array, c_pad: int) -> jax.Array:
     """HWIO ``[3, 3, c, 16]`` → ``[48, 3·c_pad]`` (rows (dy, o), col-blocks dx).
@@ -85,6 +93,7 @@ def _fwd_kernel(
     l_img: int,
     n_img: int,
     out_dtype,
+    k_stack: bool,
     interpret: bool,
 ):
     L = n_img * l_img
@@ -105,17 +114,38 @@ def _fwd_kernel(
 
     v = vs[...]
 
-    def tap(blk):
-        return jax.lax.dot_general(
-            A_ref[:, blk * c0p : (blk + 1) * c0p],
-            v,
+    if k_stack:
+        # K-stacked tiny-K form (lane rolls are 32-bit only, so the bf16
+        # activations round-trip through f32 for the ±1 rolls — numerically
+        # identical to rolling the matmul output of the same bf16 v).
+        vf = v.astype(jnp.float32)
+        stack = jnp.concatenate(
+            [
+                _roll(vf, 1, interpret=interpret) * has_prev,
+                vf,
+                _roll(vf, -1, interpret=interpret) * has_next,
+            ],
+            axis=0,
+        ).astype(jnp.bfloat16)
+        u = jax.lax.dot_general(
+            A_ref[:],
+            stack,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [48, L]
+    else:
 
-    u = tap(1)
-    u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
-    u = u + _roll(tap(2), -1, interpret=interpret) * has_next
+        def tap(blk):
+            return jax.lax.dot_general(
+                A_ref[:, blk * c0p : (blk + 1) * c0p],
+                v,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [48, L]
+
+        u = tap(1)
+        u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
+        u = u + _roll(tap(2), -1, interpret=interpret) * has_next
     g = (
         _roll(u[0:GROWTH, :], w_img, interpret=interpret)
         + u[GROWTH : 2 * GROWTH, :]
@@ -230,7 +260,7 @@ def _bwd_kernel(
     da_ref[0:c_in, :] += da
 
 
-def _plan_n(b: int, c_in: int, hw: int, l_img: int) -> int:
+def _plan_n(b: int, c_in: int, hw: int, l_img: int, stack_bytes: int = 0) -> int:
     """Images per grid step so the backward working set fits VMEM."""
     cp = _ceil16(c_in)
     bytes_per_lane = (
@@ -238,6 +268,7 @@ def _plan_n(b: int, c_in: int, hw: int, l_img: int) -> int:
         + 2 * 144  # dgs
         + 4 * cp  # dv transient
         + 4 * 48  # fwd tap transients (fwd bound is looser; keep one budget)
+        + stack_bytes  # f32 K-stack transient (stacked forward only)
         + (2 * 2 * c_in + 2 * 2 * GROWTH) * hw // l_img  # x/dx/dg/out blocks
     )
     l_max = _VMEM_TARGET_BYTES // bytes_per_lane
@@ -261,15 +292,19 @@ def growth_supported(h_img: int, w_img: int, c_in: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("c_in", "hw_shape", "interpret")
+    jax.jit, static_argnames=("c_in", "hw_shape", "k_stack", "interpret")
 )
-def _fwd_call(x_cm, a, b, A_pack, bias, *, c_in, hw_shape, interpret):
+def _fwd_call(x_cm, a, b, A_pack, bias, *, c_in, hw_shape, k_stack, interpret):
     bsz, _, hw = x_cm.shape
     h_img, w_img = hw_shape
     halo = HALO_ROWS * w_img
     l_img = hw + 2 * halo
     c0p = _ceil16(c_in)
-    n = _plan_n(bsz, c_in, hw, l_img)
+    # The f32 tap-stack transient adds 4·3·c0p bytes/lane; degrade to the
+    # unstacked form rather than exceed the VMEM target on one image.
+    if k_stack and l_img * (4 * 3 * c0p) > _VMEM_TARGET_BYTES // 2:
+        k_stack = False
+    n = _plan_n(bsz, c_in, hw, l_img, stack_bytes=4 * 3 * c0p if k_stack else 0)
     g = bsz // n
 
     a2 = jnp.pad(a.astype(jnp.float32), (0, c0p - c_in))[:, None]
@@ -287,6 +322,7 @@ def _fwd_call(x_cm, a, b, A_pack, bias, *, c_in, hw_shape, interpret):
         l_img=l_img,
         n_img=n,
         out_dtype=x_cm.dtype,
+        k_stack=k_stack,
         interpret=interpret,
     )
     const2 = lambda i: (0, 0)
@@ -399,15 +435,20 @@ def growth_layer_cm(x_cm, a, b, A_pack, bias, c_in, hw_shape, interpret=False):
     ``A_pack``: :func:`pack_growth` output ``[48, 3·ceil16(c)]``.
     Returns ``[B, 16, HW]`` in ``x_cm.dtype``.  Differentiable in
     ``x_cm, a, b, A_pack, bias`` via hand-written Pallas backward.
+
+    The forward's tap form follows ``_K_STACK_MAX_CI`` (read at trace
+    time — benches that patch it must build fresh jitted callers).
     """
     return _fwd_call(
-        x_cm, a, b, A_pack, bias, c_in=c_in, hw_shape=hw_shape, interpret=interpret
+        x_cm, a, b, A_pack, bias, c_in=c_in, hw_shape=hw_shape,
+        k_stack=_ceil16(c_in) <= _K_STACK_MAX_CI, interpret=interpret,
     )
 
 
 def _vjp_fwd(x_cm, a, b, A_pack, bias, c_in, hw_shape, interpret):
     g = _fwd_call(
-        x_cm, a, b, A_pack, bias, c_in=c_in, hw_shape=hw_shape, interpret=interpret
+        x_cm, a, b, A_pack, bias, c_in=c_in, hw_shape=hw_shape,
+        k_stack=_ceil16(c_in) <= _K_STACK_MAX_CI, interpret=interpret,
     )
     return g, (x_cm, a, b, A_pack, bias)
 

@@ -69,6 +69,43 @@ def test_growth_layer_grad_matches_autodiff(B, c, h, w):
         assert md < 2e-2 * max(sc, 1.0), f"{name}: {md} vs scale {sc}"
 
 
+@pytest.mark.parametrize("B,c,h,w", [(2, 19, 8, 16), (4, 3, 8, 8)])
+def test_growth_layer_k_stacked_forward(B, c, h, w, monkeypatch):
+    """K-stacked forward (one [48,3cp] matmul) matches the tap form and the
+    autodiff reference; the backward (unchanged) still agrees."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas import growth_train
+
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.randn(B, c, h * w), jnp.float32)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
+    b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    kernel = jnp.asarray(rng.randn(3, 3, c, 16) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(16) * 0.1, jnp.float32)
+    cp = _ceil16(c)
+
+    def ours(x, a, b, kernel, bias):
+        return growth_layer_cm(
+            x, a, b, pack_growth(kernel, cp), bias, c, (h, w), True
+        )
+
+    g_tap = ours(x, a, b, kernel, bias)
+    monkeypatch.setattr(growth_train, "_K_STACK_MAX_CI", 48)
+    g_stk = ours(x, a, b, kernel, bias)
+    # identical bf16 operands either side of the commuted roll: tight bound
+    assert float(jnp.abs(g_tap - g_stk).max()) < 1e-2
+
+    R = jnp.asarray(rng.randn(*g_stk.shape), jnp.float32)
+    gr = jax.grad(
+        lambda *args: jnp.sum(_ref_layer(*args, (h, w)) * R), argnums=(0, 1, 2, 3, 4)
+    )(x, a, b, kernel, bias)
+    go = jax.grad(
+        lambda *args: jnp.sum(ours(*args) * R), argnums=(0, 1, 2, 3, 4)
+    )(x, a, b, kernel, bias)
+    for name, r, o in zip(("dx", "da", "db", "dK", "dbias"), gr, go):
+        sc = float(jnp.abs(r).max())
+        assert float(jnp.abs(r - o).max()) < 2e-2 * max(sc, 1.0), name
+
+
 def test_fused_dense_block_matches_canonical():
     rng = np.random.RandomState(1)
     B, h, w, c = 2, 16, 24, 19
