@@ -22,14 +22,8 @@ retry() {
 }
 
 echo "=== STAGE A START $(date) ==="
-echo "--- 1. serving bf16-act A/B ---"
-retry timeout 3600 python benchmarks/ab_bf16_act.py
-
-echo "--- 1b. DB K-stack width A/B (f32 act) ---"
-retry timeout 3600 python benchmarks/ab_kstack.py
-
-echo "--- 1c. DB K-stack width A/B (bf16 act) ---"
-retry timeout 3600 python benchmarks/ab_kstack.py --bf16-act --widths 48,80
+echo "--- 1. serving variant sweep (bf16-act x K-stack) + persist winner ---"
+retry timeout 7200 python benchmarks/tune_serving.py
 
 echo "--- 2. train table b16 256x384 ---"
 retry timeout 5400 python benchmarks/profile_train.py --only \

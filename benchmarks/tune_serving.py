@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Measure the serving kernel-variant combos on the real chip and persist
+the winner to ``config/serving_tuning.json`` (loaded by ``models.cdan_fast``
+at import), so the production serving defaults track hardware measurements
+even when nobody is around to flip module constants by hand.
+
+Sweeps (bf16_act, k_stack) over the v1 per-DenseBlock fused forward at the
+headline bench shape, forced-execution timing, one process, serialized.
+
+Usage: python benchmarks/tune_serving.py [--batch 128] [--size 256]
+       [--iters 20] [--dry-run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+COMBOS = [
+    # (bf16_act, k_stack_max_ci)
+    (False, 0),
+    (False, 48),
+    (False, 80),
+    (True, 0),
+    (True, 48),
+]
+
+OUT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "config",
+    "serving_tuning.json",
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--dry-run", action="store_true", help="measure only")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import multi_degradation_image_enhancement_tpu.models.cdan_fast as cf
+    from benchmarks.microbench import forced_timeit
+    from multi_degradation_image_enhancement_tpu.models.cdan import CDAN
+    from multi_degradation_image_enhancement_tpu.ops.degradations import (
+        apply_degradation,
+    )
+
+    dtype = jnp.bfloat16
+    model = CDAN(dtype=dtype)
+    variables = model.init(
+        {"params": jax.random.key(0)},
+        jnp.zeros((1, args.size, args.size, 3), jnp.float32),
+        train=False,
+    )
+    clean = (
+        jnp.abs(
+            jnp.sin(
+                jnp.arange(args.batch * args.size * args.size * 3, dtype=jnp.float32)
+                * 0.001
+            )
+        ).reshape(args.batch, args.size, args.size, 3)
+        * 255.0
+    )
+    key = jax.random.key(7)
+
+    ref_out = None
+    results = []
+    for bf16_act, k in COMBOS:
+        cf._DB_BF16_ACT = bf16_act
+        cf._DB_K_STACK_MAX_CI = k
+        forward = cf.build_serving_apply(variables, dtype)
+
+        @jax.jit
+        def step(c, kk):
+            return forward(apply_degradation("noise", c, kk) / 255.0)
+
+        try:
+            out = step(clean, key)
+            if ref_out is None:
+                ref_out = jax.device_get(out).astype("float32")
+                diff = 0.0
+            else:
+                diff = float(
+                    np.abs(jax.device_get(out).astype("float32") - ref_out).max()
+                )
+            dt = forced_timeit(
+                lambda i: step(clean, jax.random.fold_in(key, i)), args.iters
+            )
+        except Exception as e:  # compile OOM etc. — record and move on
+            print(f"bf16_act={bf16_act} k={k}: FAILED {e}", flush=True)
+            continue
+        rate = args.batch / dt
+        results.append({"bf16_act": bf16_act, "k_stack": k,
+                        "ms_per_step": dt * 1e3, "img_per_s": rate,
+                        "maxdiff_vs_baseline_variant": diff})
+        print(
+            f"bf16_act={int(bf16_act)} k={k:3d}: {dt*1e3:7.2f} ms/step "
+            f"{rate:7.1f} img/s  (maxdiff {diff:.3e})",
+            flush=True,
+        )
+
+    if not results:
+        print("no variant succeeded; tuning file untouched", flush=True)
+        sys.exit(1)
+    best = max(results, key=lambda r: r["img_per_s"])
+    print(f"winner: bf16_act={best['bf16_act']} k={best['k_stack']} "
+          f"({best['img_per_s']:.1f} img/s)", flush=True)
+    if args.dry_run:
+        return
+    with open(OUT_PATH, "w") as f:
+        json.dump(
+            {
+                "db_bf16_act": best["bf16_act"],
+                "db_k_stack_max_ci": best["k_stack"],
+                "provenance": {
+                    "script": "benchmarks/tune_serving.py",
+                    "batch": args.batch,
+                    "size": args.size,
+                    "iters": args.iters,
+                    "results": results,
+                },
+            },
+            f,
+            indent=2,
+        )
+    print(f"wrote {OUT_PATH}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -205,6 +205,41 @@ _DB_BF16_ACT = False
 _DB_K_STACK_MAX_CI = None
 
 
+def _load_serving_tuning() -> None:
+    """Apply measured serving-variant defaults from ``config/serving_tuning.json``.
+
+    ``benchmarks/tune_serving.py`` measures the kernel-variant combos on the
+    real chip and persists the winner, so the production defaults track
+    hardware measurements without a code edit (the module constants above
+    remain patchable for A/Bs).  Override the path with
+    ``MDIE_SERVING_TUNING``; a missing file keeps the conservative defaults.
+    """
+    import json
+    import os
+
+    global _DB_BF16_ACT, _DB_K_STACK_MAX_CI, _SERVING_PREFER_CM
+    path = os.environ.get(
+        "MDIE_SERVING_TUNING",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "config",
+            "serving_tuning.json",
+        ),
+    )
+    if not os.path.isfile(path):
+        return
+    try:
+        with open(path) as f:
+            cfg = json.load(f)
+    except Exception:
+        return
+    _DB_BF16_ACT = bool(cfg.get("db_bf16_act", _DB_BF16_ACT))
+    if "db_k_stack_max_ci" in cfg:
+        _DB_K_STACK_MAX_CI = cfg["db_k_stack_max_ci"]
+    if "prefer_cm" in cfg:
+        _SERVING_PREFER_CM = bool(cfg["prefer_cm"])
+
+
 def _maxpool2x2_cm(x: jax.Array, hw_shape) -> jax.Array:
     """2×2 max-pool on channel-major ``[B, C, H·W]`` (stride-2 lane max)."""
     b, c, hw = x.shape
@@ -518,3 +553,6 @@ def build_fast_apply(
         return jax.nn.sigmoid(out).astype(jnp.float32)
 
     return apply_fn
+
+
+_load_serving_tuning()
