@@ -194,25 +194,35 @@ def _kernel(
         else:
             v = activate(ci, a_ref, b_ref).astype(jnp.bfloat16)
             # One matmul per dx tap against the UNSHIFTED activations, dx
-            # applied as a ±1 lane roll of the [48, L] result.  Rolling after
+            # applied as a ±1 lane roll of the matmul result.  Rolling after
             # the matmul is exact (the roll/mask are per-lane and commute
             # with the channel contraction) and replaces the [3ci, L]
             # tap-stack: the per-layer VPU traffic drops from ~8·ci row-ops
             # (2 f32 rolls + 2 masks on [ci,L] + three [ci,L] bf16 scratch
-            # writes) to ~2·48 + 2·48 rolls/masks on the matmul output — the
-            # kernel's hot cost at large ci.  A's column blocks are the
-            # dx∈{-1,0,+1} taps (pack_params_cm).
-            def tap(dx_block):
-                return jax.lax.dot_general(
+            # writes) to rolls/masks on the matmul output — the kernel's hot
+            # cost at large ci.  The dy-combine runs FIRST, per dx block:
+            # the column masks are W-periodic so they commute with the ±W dy
+            # rolls, and collapsing [48,L] → [16,L] before the dx roll+mask
+            # saves 4 [16,L] row-op units per layer.  A's column blocks are
+            # the dx∈{-1,0,+1} taps (pack_params_cm).
+            def tap_dy(dx_block):
+                t = jax.lax.dot_general(
                     A_ref[:, dx_block * ci : (dx_block + 1) * ci],
                     v,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )  # [48, L] — rows are (dy, out_channel)
+                return (
+                    _roll(t[0:GROWTH, :], w_img, interpret=interpret)
+                    + t[GROWTH : 2 * GROWTH, :]
+                    + _roll(t[2 * GROWTH : 3 * GROWTH, :], -w_img, interpret=interpret)
+                )  # [16, L]
 
-            u = tap(1)
-            u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
-            u = u + _roll(tap(2), -1, interpret=interpret) * has_next
+            g = tap_dy(1)
+            g = g + _roll(tap_dy(0), 1, interpret=interpret) * has_prev
+            g = g + _roll(tap_dy(2), -1, interpret=interpret) * has_next
+            feats[ci : ci + GROWTH, :] = (g + bias_ref[:]).astype(jnp.bfloat16)
+            continue
         g = (
             _roll(u[0:GROWTH, :], w_img, interpret=interpret)
             + u[GROWTH : 2 * GROWTH, :]
@@ -508,17 +518,27 @@ def _kernel2(
         else:
             v = activate(ci, a_ref, b_ref).astype(jnp.bfloat16)
 
-            def tap(dx_block):
-                return jax.lax.dot_general(
+            # dy-combine first per dx block (see _kernel): the W-periodic
+            # column masks commute with ±W rolls, so the dx roll+mask runs
+            # on [16,L] instead of [48,L].
+            def tap_dy(dx_block):
+                t = jax.lax.dot_general(
                     A_ref[:, dx_block * ci : (dx_block + 1) * ci],
                     v,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
+                return (
+                    _roll(t[0:GROWTH, :], w_img, interpret=interpret)
+                    + t[GROWTH : 2 * GROWTH, :]
+                    + _roll(t[2 * GROWTH : 3 * GROWTH, :], -w_img, interpret=interpret)
+                )
 
-            u = tap(1)
-            u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
-            u = u + _roll(tap(2), -1, interpret=interpret) * has_next
+            g = tap_dy(1)
+            g = g + _roll(tap_dy(0), 1, interpret=interpret) * has_prev
+            g = g + _roll(tap_dy(2), -1, interpret=interpret) * has_next
+            feats[ci : ci + GROWTH, :] = (g + bias_ref[:]).astype(jnp.bfloat16)
+            continue
         g = (
             _roll(u[0:GROWTH, :], w_img, interpret=interpret)
             + u[GROWTH : 2 * GROWTH, :]

@@ -135,17 +135,29 @@ def _fwd_kernel(
         )  # [48, L]
     else:
 
-        def tap(blk):
-            return jax.lax.dot_general(
+        # dy-combine first per dx block (see dense_block_cm._kernel): the
+        # W-periodic column masks commute with ±W rolls, so the dx roll+mask
+        # runs on [16,L] instead of [48,L].
+        def tap_dy(blk):
+            t = jax.lax.dot_general(
                 A_ref[:, blk * c0p : (blk + 1) * c0p],
                 v,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [48, L]
+            return (
+                _roll(t[0:GROWTH, :], w_img, interpret=interpret)
+                + t[GROWTH : 2 * GROWTH, :]
+                + _roll(t[2 * GROWTH : 3 * GROWTH, :], -w_img, interpret=interpret)
+            )
 
-        u = tap(1)
-        u = u + _roll(tap(0), 1, interpret=interpret) * has_prev
-        u = u + _roll(tap(2), -1, interpret=interpret) * has_next
+        gd = tap_dy(1)
+        gd = gd + _roll(tap_dy(0), 1, interpret=interpret) * has_prev
+        gd = gd + _roll(tap_dy(2), -1, interpret=interpret) * has_next
+        g = (gd + bias_ref[:]).astype(out_dtype)
+        for j in range(n_img):
+            out_ref[j, :, :] = g[:, j * l_img + halo : j * l_img + halo + hw]
+        return
     g = (
         _roll(u[0:GROWTH, :], w_img, interpret=interpret)
         + u[GROWTH : 2 * GROWTH, :]
