@@ -4,30 +4,26 @@
 # backend's flaky init).  Run AFTER any other TPU user has exited:
 #   nohup bash tools/r3_tpu_queue.sh > /tmp/r3_queue.log 2>&1 &
 #
-# Stages (each idempotent / skip-complete):
-#   B. remaining reduced-scale parity ours runs + BN-recal A/Bs (VERDICT 3)
+# Stage order = irreplaceability under a flaky tunnel (each stage is
+# idempotent / skip-complete):
 #   C. full-recipe longrun ours: noise 80ep 256x384 b16 (VERDICT 4)
+#   B. remaining reduced-scale parity ours runs + BN-recal A/Bs (VERDICT 3)
+#      — walked REVERSED relative to the CPU fallback chain; ours_r3.py's
+#      activity detection skips tasks the other worker is training.
 #   D. perceptual-term substitution A/B on the jpeg recipe (VERDICT 5)
 #   E. classifier at reference scale, on-device synthetic (VERDICT 6)
+#   F. training-step tables incl. fused/K-stack variants (VERDICT 2)
+#   G. eval wall-clock (writer pool A/B) + headline bench for the record
 set -u
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/tmp/jaxcache
 
 echo "=== R3 QUEUE START $(date) ==="
 
-# Stage B runs the task list REVERSED relative to the CPU fallback chain
-# (which walks jpeg→…→color_distortion): the two workers meet in the middle,
-# and ours_r3.py's activity detection skips any task the other worker is
-# actively training, so neither corrupts the other's checkpoint path.
-echo "=== stage B: parity ours (reduced-scale tasks, reversed) $(date) ==="
-python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
-  --tasks color_distortion,low_contrast,high_light,motion_blur,pixelation_easy,pixelation,jpeg \
-  || echo "=== stage B had failures (see above) ==="
-
 echo "=== stage C: full_noise longrun ours (80ep 256x384 b16) $(date) ==="
 if [ ! -f /tmp/parity_r3/full_noise/ours_run.json ]; then
   for i in 1 2 3; do
-    timeout 7200 python tools/parity/run_parity.py \
+    timeout 14400 python tools/parity/run_parity.py \
       --workdir /tmp/parity_r3/full_noise --task noise \
       --epochs 80 --batch 16 --height 256 --width 384 \
       --stage ours --ours-tpu && break
@@ -37,6 +33,11 @@ if [ ! -f /tmp/parity_r3/full_noise/ours_run.json ]; then
 else
   echo "stage C already complete"
 fi
+
+echo "=== stage B: parity ours (reduced-scale tasks, reversed) $(date) ==="
+python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
+  --tasks color_distortion,low_contrast,high_light,motion_blur,pixelation_easy,pixelation,jpeg \
+  || echo "=== stage B had failures (see above) ==="
 
 echo "=== stage D: perceptual A/B (jpeg) $(date) ==="
 if [ ! -f /tmp/parity_r3/jpeg/perceptual_ab.json ]; then
@@ -63,5 +64,23 @@ if [ ! -f runs_classifier/r3_scale/summary.json ]; then
 else
   echo "stage E already complete"
 fi
+
+echo "=== stage F: training-step tables $(date) ==="
+timeout 5400 python benchmarks/profile_train.py --only \
+"train step (fwd+bwd+adam+synth),train step (fused DenseBlocks),train step (fused + remat)" \
+  || echo "stage F base table FAILED"
+timeout 5400 python benchmarks/profile_train.py --k-stack 48 --only \
+"train step (fused DenseBlocks)" || echo "stage F k-stack FAILED"
+timeout 5400 python benchmarks/profile_train.py --batch 128 --height 256 --width 256 --only \
+"train step (per-block remat),train step (fused DenseBlocks),train step (fused + remat)" \
+  || echo "stage F b128 FAILED"
+timeout 5400 python benchmarks/profile_train.py --batch 256 --height 256 --width 256 --only \
+"train step (fused DenseBlocks),train step (fused + remat)" \
+  || echo "stage F b256 probe failed (OOM is an acceptable answer)"
+
+echo "=== stage G: eval wall-clock + headline bench $(date) ==="
+timeout 3600 python benchmarks/eval_wallclock.py --n 128 --batch 32 \
+  || echo "stage G eval_wallclock FAILED"
+timeout 2400 python bench.py || echo "stage G bench FAILED"
 
 echo "=== R3 QUEUE COMPLETE $(date) ==="
