@@ -82,5 +82,7 @@ echo "=== stage G: eval wall-clock + headline bench $(date) ==="
 timeout 3600 python benchmarks/eval_wallclock.py --n 128 --batch 32 \
   || echo "stage G eval_wallclock FAILED"
 timeout 2400 python bench.py || echo "stage G bench FAILED"
+timeout 2400 python benchmarks/exp_int8_reprobe.py \
+  || echo "stage G int8 reprobe FAILED"
 
 echo "=== R3 QUEUE COMPLETE $(date) ==="
