@@ -48,11 +48,33 @@ ARM_LOSSES = {
 }
 
 
+def _claim(workdir: str) -> bool:
+    """Single-writer guard: two queues (TPU stage D, CPU fallback) may both
+    reach this A/B; the first live claimant wins, the other exits cleanly."""
+    path = os.path.join(workdir, "pab_claim.pid")
+    if os.path.isfile(path):
+        try:
+            pid = int(open(path).read().strip())
+            os.kill(pid, 0)  # raises if dead
+            print(f"[perceptual_ab] already running (pid {pid}); exiting", flush=True)
+            return False
+        except (ValueError, ProcessLookupError, PermissionError):
+            pass  # stale claim — take over
+    with open(path, "w") as f:
+        f.write(str(os.getpid()))
+    return True
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/parity_r3/jpeg")
     ap.add_argument("--task", default="jpeg")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run both arms on JAX CPU (TPU tunnel down)")
     args = ap.parse_args()
+
+    if not _claim(args.workdir):
+        return
 
     base_cfg_path = os.path.join(args.workdir, f"{args.task}_parity.json")
     with open(base_cfg_path) as f:
@@ -60,6 +82,11 @@ def main() -> None:
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+    if args.cpu:
+        env["PYTHONPATH"] = os.pathsep.join(
+            p for p in env.get("PYTHONPATH", "").split(os.pathsep) if "axon" not in p
+        )
+        env["JAX_PLATFORMS"] = "cpu"
     out = {}
     for arm, terms in ARM_LOSSES.items():
         cfg = json.loads(json.dumps(base))
