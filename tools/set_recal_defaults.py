@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Set each task config's BN-recalibration default from measurement.
+
+Reads the per-task ``recal_ab.json`` snapshots (``tools/parity/results_r3``
+by default, or a live parity root) and enables ``train.bn_recalibration``
+in ``multi_degradation_image_enhancement_tpu/config/<task>{,_synthetic}.json``
+only where the measured A/B shows a PSNR gain above the threshold —
+closing VERDICT r2 item 3's "set each config's recal default from
+measurement" (the round-2 defaults were extrapolated from 3 tasks).
+
+Usage: python tools/set_recal_defaults.py [--results tools/parity/results_r3]
+       [--threshold 0.1] [--dry-run]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFG_DIR = os.path.join(
+    REPO, "multi_degradation_image_enhancement_tpu", "config"
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--results", default=os.path.join(REPO, "tools", "parity", "results_r3"))
+    ap.add_argument("--threshold", type=float, default=0.1,
+                    help="enable recal only if measured ΔPSNR ≥ this (dB)")
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--dry-run", action="store_true")
+    args = ap.parse_args()
+
+    measured = {}
+    for path in sorted(glob.glob(os.path.join(args.results, "*_recal_ab.json"))):
+        with open(path) as f:
+            ab = json.load(f)
+        measured[ab["task"]] = ab["recal_delta_psnr_db"]
+
+    for task, delta in sorted(measured.items()):
+        enable = delta >= args.threshold
+        for suffix in ("", "_synthetic"):
+            cfg_path = os.path.join(CFG_DIR, f"{task}{suffix}.json")
+            if not os.path.isfile(cfg_path):
+                print(f"  (no config {task}{suffix}.json)")
+                continue
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            train = cfg.setdefault("train", {})
+            before = train.get("bn_recalibration")
+            if enable:
+                train["bn_recalibration"] = {
+                    "passes": args.passes,
+                    "//": f"measured recal ΔPSNR {delta:+.3f} dB (round-3 A/B)",
+                }
+            else:
+                train.pop("bn_recalibration", None)
+            after = train.get("bn_recalibration")
+            changed = before != after
+            print(f"{task}{suffix}: Δ{delta:+.3f} dB → recal "
+                  f"{'ON' if enable else 'off'}{' (changed)' if changed else ''}")
+            if changed and not args.dry_run:
+                with open(cfg_path, "w") as f:
+                    json.dump(cfg, f, indent=2)
+                    f.write("\n")
+
+
+if __name__ == "__main__":
+    main()
