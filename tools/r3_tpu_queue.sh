@@ -35,9 +35,33 @@ else
 fi
 
 echo "=== stage B: parity ours (reduced-scale tasks, reversed) $(date) ==="
+# The CPU fallback chain launched before the activity-claim code landed, so
+# it cannot see TPU-active tasks.  Once the TPU owns the queue, retire the
+# CPU chain (driver + descendants, by recorded pid tree — never by pattern);
+# the TPU side redoes its interrupted task in ~20 min.
+if [ -f /tmp/ours_cpu_chain.pid ]; then
+  P=$(cat /tmp/ours_cpu_chain.pid)
+  if kill -0 "$P" 2>/dev/null; then
+    DESC="$P"
+    for c in $(ps -o pid= --ppid "$P"); do
+      DESC="$DESC $c $(ps -o pid= --ppid "$c" | tr '\n' ' ')"
+    done
+    echo "retiring CPU parity chain pids: $DESC"
+    kill $DESC 2>/dev/null
+    sleep 5
+    kill -9 $DESC 2>/dev/null
+  fi
+fi
 python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
   --tasks color_distortion,low_contrast,high_light,motion_blur,pixelation_easy,pixelation,jpeg \
   || echo "=== stage B had failures (see above) ==="
+# Second pass after the activity-freshness window: catches a task whose
+# files the just-killed CPU run touched (ours_r3 skips "active" workdirs
+# for 15 min) — idempotent, completed tasks skip instantly.
+sleep 900
+python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
+  --tasks color_distortion,low_contrast,high_light,motion_blur,pixelation_easy,pixelation,jpeg \
+  || echo "=== stage B second pass had failures ==="
 
 echo "=== stage D: perceptual A/B (jpeg) $(date) ==="
 if [ ! -f /tmp/parity_r3/jpeg/perceptual_ab.json ]; then
