@@ -15,6 +15,9 @@ while true; do
     t=$(basename "$d")
     [ -f "$d/recal_ab.json" ] && cp -f "$d/recal_ab.json" "$DEST/${t}_recal_ab.json"
     [ -f "$d/perceptual_ab.json" ] && cp -f "$d/perceptual_ab.json" "$DEST/${t}_perceptual_ab.json"
+    [ -f "$d/seed_rerun.json" ] && cp -f "$d/seed_rerun.json" "$DEST/${t}_seed_rerun.json"
+    [ -f "$d/ours_run.json" ] && [ ! -f "$DEST/${t}_recal_ab.json" ] && \
+      cp -f "$d/ours_run.json" "$DEST/${t}_ours_run_mark.json"
   done
   [ -f runs_classifier/r3_scale/summary.json ] && \
     cp -f runs_classifier/r3_scale/summary.json "$DEST/classifier_r3_scale_summary.json"

@@ -63,6 +63,10 @@ python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
   --tasks color_distortion,low_contrast,high_light,motion_blur,pixelation_easy,pixelation,jpeg \
   || echo "=== stage B second pass had failures ==="
 
+echo "=== stage B3: seed-variance reruns for any task ours lost $(date) ==="
+timeout 10800 python -u tools/parity/seed_rerun.py --root /tmp/parity_r3 --auto \
+  || echo "=== stage B3 had failures ==="
+
 echo "=== stage D: perceptual A/B (jpeg) $(date) ==="
 if [ ! -f /tmp/parity_r3/jpeg/perceptual_ab.json ]; then
   for i in 1 2 3; do
