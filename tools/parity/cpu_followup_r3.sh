@@ -22,3 +22,13 @@ else
     --workdir /tmp/parity_r3/jpeg --cpu || echo "perceptual_ab CPU FAILED"
 fi
 echo "=== followup COMPLETE $(date)"
+
+# Appended: seed-variance reruns on CPU if the TPU never took stage B3.
+if grep -q "TUNNEL UP" /tmp/r3_watchdog.log 2>/dev/null; then
+  echo "tunnel healed — TPU queue owns stage B3; skipping CPU seed reruns"
+else
+  echo "=== followup: seed-variance reruns on CPU $(date)"
+  timeout 21600 python -u tools/parity/seed_rerun.py --root /tmp/parity_r3 --auto --cpu \
+    || echo "seed_rerun CPU FAILED"
+fi
+echo "=== followup (incl. appends) COMPLETE $(date)"
