@@ -32,3 +32,12 @@ else
     || echo "seed_rerun CPU FAILED"
 fi
 echo "=== followup (incl. appends) COMPLETE $(date)"
+
+# Appended: paired per-image checkpoint evals for any completed task.
+for t in jpeg pixelation pixelation_easy pixelation_hard motion_blur high_light low_contrast color_distortion; do
+  if [ -f /tmp/parity_r3/$t/ours_run.json ] && [ ! -f /tmp/parity_r3/$t/paired_eval.json ]; then
+    timeout 1800 python tools/parity/paired_eval.py \
+      --workdir /tmp/parity_r3/$t --task $t || echo "paired_eval $t FAILED"
+  fi
+done
+echo "=== followup paired evals COMPLETE $(date)"

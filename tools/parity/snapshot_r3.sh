@@ -16,6 +16,7 @@ while true; do
     [ -f "$d/recal_ab.json" ] && cp -f "$d/recal_ab.json" "$DEST/${t}_recal_ab.json"
     [ -f "$d/perceptual_ab.json" ] && cp -f "$d/perceptual_ab.json" "$DEST/${t}_perceptual_ab.json"
     [ -f "$d/seed_rerun.json" ] && cp -f "$d/seed_rerun.json" "$DEST/${t}_seed_rerun.json"
+    [ -f "$d/paired_eval.json" ] && cp -f "$d/paired_eval.json" "$DEST/${t}_paired_eval.json"
     [ -f "$d/ours_run.json" ] && [ ! -f "$DEST/${t}_recal_ab.json" ] && \
       cp -f "$d/ours_run.json" "$DEST/${t}_ours_run_mark.json"
   done

@@ -67,6 +67,18 @@ echo "=== stage B3: seed-variance reruns for any task ours lost $(date) ==="
 timeout 10800 python -u tools/parity/seed_rerun.py --root /tmp/parity_r3 --auto \
   || echo "=== stage B3 had failures ==="
 
+echo "=== stage B4: paired per-image checkpoint evals (CPU-hermetic) $(date) ==="
+for t in jpeg pixelation pixelation_easy pixelation_hard motion_blur high_light low_contrast color_distortion; do
+  if [ -f /tmp/parity_r3/$t/ours_run.json ] && [ ! -f /tmp/parity_r3/$t/paired_eval.json ]; then
+    timeout 1800 python tools/parity/paired_eval.py \
+      --workdir /tmp/parity_r3/$t --task $t || echo "paired_eval $t FAILED"
+  fi
+done
+if [ -f /tmp/parity_r3/full_noise/ours_run.json ] && [ ! -f /tmp/parity_r3/full_noise/paired_eval.json ]; then
+  timeout 3600 python tools/parity/paired_eval.py \
+    --workdir /tmp/parity_r3/full_noise --task noise || echo "paired_eval full_noise FAILED"
+fi
+
 echo "=== stage D: perceptual A/B (jpeg) $(date) ==="
 if [ ! -f /tmp/parity_r3/jpeg/perceptual_ab.json ]; then
   for i in 1 2 3; do
