@@ -283,8 +283,19 @@ class Model(BaseModel):
             jnp.zeros_like(sample_inputs),
             train=True,
         )
+        params = variables["params"]
+        if (self.config.get("train", {}) or {}).get("torch_init"):
+            # Parity knob: re-draw conv/dense weights with torch-default
+            # statistics (kaiming_uniform a=√5 + uniform bias) — see
+            # models/torch_init.py for the measured rationale.
+            from multi_degradation_image_enhancement_tpu.models.torch_init import (
+                torch_reinit,
+            )
+
+            params = torch_reinit(params, jax.random.key(self.seed + 2))
+            print("[ENGINE] torch-default re-initialization applied")
         return TrainState.create(
-            params=variables["params"],
+            params=params,
             batch_stats=variables.get("batch_stats", {}),
             tx=self.tx,
         )

@@ -28,7 +28,8 @@ if grep -q "TUNNEL UP" /tmp/r3_watchdog.log 2>/dev/null; then
   echo "tunnel healed — TPU queue owns stage B3; skipping CPU seed reruns"
 else
   echo "=== followup: seed-variance reruns on CPU $(date)"
-  timeout 21600 python -u tools/parity/seed_rerun.py --root /tmp/parity_r3 --auto --cpu \
+  # 3 runs/losing-task (2 fresh seeds + torch_init A/B) at ~80 min each
+  timeout 43200 python -u tools/parity/seed_rerun.py --root /tmp/parity_r3 --auto --cpu \
     || echo "seed_rerun CPU FAILED"
 fi
 echo "=== followup (incl. appends) COMPLETE $(date)"

@@ -42,29 +42,54 @@ def _env(cpu: bool) -> dict:
     return env
 
 
-def rerun(workdir: str, task: str, seeds, cpu: bool) -> dict:
+def rerun(workdir: str, task: str, seeds, cpu: bool, torch_init_ab: bool = True) -> dict:
     with open(os.path.join(workdir, f"{task}_parity.json")) as f:
         base = json.load(f)
-    out = {"task": task, "runs": []}
+
+    # Idempotent top-up: reload any prior seed_rerun.json and only run the
+    # variants it is missing (a partial earlier pass — e.g. single-seed, or
+    # pre-torch_init code — gets completed, not redone).
+    out_path = os.path.join(workdir, "seed_rerun.json")
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            out = json.load(f)
+        out.setdefault("runs", [])
+    else:
+        out = {"task": task, "runs": []}
 
     # original (seed 42) from the stock mark, if present
     mark = os.path.join(workdir, "ours_run.json")
-    if os.path.isfile(mark):
+    if os.path.isfile(mark) and not any(r.get("original") for r in out["runs"]):
         with open(mark) as f:
             stock = extract_metrics(json.load(f)["run_dir"])
         out["runs"].append({"seed": 42, **stock, "original": True})
 
-    for seed in seeds:
+    # Variant matrix: fresh seeds (trajectory-noise bound) plus a
+    # torch-default-init A/B at the original seed (init-distribution bound —
+    # flax lecun_normal has 3x the variance of torch kaiming_uniform(a=√5);
+    # see models/torch_init.py).
+    have_seeds = {r["seed"] for r in out["runs"]
+                  if not r.get("torch_init") and not r.get("original")}
+    have_ti = any(r.get("torch_init") for r in out["runs"])
+    variants = [{"seed": s} for s in seeds if s not in have_seeds]
+    if torch_init_ab and not have_ti:
+        variants.append({"seed": 42, "torch_init": True})
+
+    for var in variants:
+        seed = var["seed"]
+        tag = f"seed{seed}" + ("_torchinit" if var.get("torch_init") else "")
         cfg = json.loads(json.dumps(base))
         cfg["train"]["seed"] = seed
-        cwd = os.path.join(workdir, f"ours_seed{seed}")
+        if var.get("torch_init"):
+            cfg["train"]["torch_init"] = True
+        cwd = os.path.join(workdir, f"ours_{tag}")
         os.makedirs(cwd, exist_ok=True)
-        cfg_path = os.path.join(workdir, f"{task}_parity_seed{seed}.json")
+        cfg_path = os.path.join(workdir, f"{task}_parity_{tag}.json")
         with open(cfg_path, "w") as f:
             json.dump(cfg, f, indent=2)
         env = _env(cpu)
         for phase in ("train", "test"):
-            print(f"[seed_rerun] {task} seed={seed}: {phase}", flush=True)
+            print(f"[seed_rerun] {task} {tag}: {phase}", flush=True)
             res = subprocess.run(
                 [sys.executable, os.path.join(REPO, "run.py"), "-c", cfg_path,
                  "-p", phase],
@@ -72,16 +97,21 @@ def rerun(workdir: str, task: str, seeds, cpu: bool) -> dict:
             )
             if res.returncode != 0:
                 sys.stderr.write(res.stderr[-6000:])
-                raise RuntimeError(f"{task} seed={seed} {phase} failed")
+                raise RuntimeError(f"{task} {tag} {phase} failed")
         runs = os.path.join(cwd, "runs", f"{task}_parity")
         latest = os.path.join(runs, sorted(os.listdir(runs))[-1])
         m = extract_metrics(latest)
-        out["runs"].append({"seed": seed, **m})
-        print(f"[seed_rerun] {task} seed={seed}: {m}", flush=True)
+        out["runs"].append({**var, **m})
+        print(f"[seed_rerun] {task} {tag}: {m}", flush=True)
 
-    psnrs = [r["psnr"] for r in out["runs"]]
+    seed_runs = [r for r in out["runs"] if not r.get("torch_init")]
+    psnrs = [r["psnr"] for r in seed_runs]
     out["psnr_mean"] = sum(psnrs) / len(psnrs)
     out["psnr_spread"] = max(psnrs) - min(psnrs)
+    ti = [r for r in out["runs"] if r.get("torch_init")]
+    orig = [r for r in out["runs"] if r.get("original")]
+    if ti and orig:
+        out["torch_init_delta_psnr_db"] = ti[0]["psnr"] - orig[0]["psnr"]
     with open(os.path.join(workdir, "seed_rerun.json"), "w") as f:
         json.dump(out, f, indent=2)
     return out
@@ -97,12 +127,15 @@ def main() -> None:
     ap.add_argument("--auto", action="store_true",
                     help="rerun every task whose stock ours trails ref PSNR")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--no-torch-init-ab", action="store_true",
+                    help="skip the torch-default-init A/B variant")
     args = ap.parse_args()
     seeds = [int(s) for s in args.seeds.split(",") if s]
+    ti_ab = not args.no_torch_init_ab
 
     if args.workdir:
         rerun(args.workdir, args.task or os.path.basename(args.workdir.rstrip("/")),
-              seeds, args.cpu)
+              seeds, args.cpu, torch_init_ab=ti_ab)
         return
 
     assert args.auto, "pass --workdir/--task or --auto"
@@ -112,9 +145,6 @@ def main() -> None:
         ref_path = os.path.join(workdir, "ref_run.json")
         if not (os.path.isfile(ab_path) and os.path.isfile(ref_path)):
             continue
-        if os.path.isfile(os.path.join(workdir, "seed_rerun.json")):
-            print(f"[seed_rerun] {entry}: already done, skipping", flush=True)
-            continue
         with open(ab_path) as f:
             ours = json.load(f)["stock"]["psnr"]
         with open(ref_path) as f:
@@ -123,7 +153,7 @@ def main() -> None:
             print(f"[seed_rerun] {entry}: ours {ours:.3f} < ref {ref:.3f} — rerunning",
                   flush=True)
             try:
-                rerun(workdir, entry, seeds, args.cpu)
+                rerun(workdir, entry, seeds, args.cpu, torch_init_ab=ti_ab)
             except Exception as e:
                 print(f"[seed_rerun] {entry} FAILED: {e}", flush=True)
         else:
