@@ -62,6 +62,28 @@ def main() -> None:
         if os.path.isfile(pab_path):
             with open(pab_path) as f:
                 row["perceptual_ab"] = json.load(f)
+        sr_path = os.path.join(workdir, "seed_rerun.json")
+        if os.path.isfile(sr_path):
+            with open(sr_path) as f:
+                sr = json.load(f)
+            row["seed_rerun"] = {
+                k: sr.get(k)
+                for k in ("runs", "psnr_mean", "psnr_spread",
+                          "torch_init_delta_psnr_db")
+            }
+            # best-of-variants headline candidate (seeds + torch_init)
+            psnrs = [x["psnr"] for x in sr.get("runs", [])]
+            if psnrs:
+                row["seed_rerun"]["psnr_best"] = max(psnrs)
+        pe_path = os.path.join(workdir, "paired_eval.json")
+        if os.path.isfile(pe_path):
+            with open(pe_path) as f:
+                pe = json.load(f)
+            row["paired_eval"] = {
+                k: pe.get(k)
+                for k in ("paired_delta_psnr_mean", "paired_delta_se",
+                          "paired_t", "n_images")
+            }
         if ref is not None and ours is not None:
             row["delta_psnr_db"] = ours["psnr"] - ref["psnr"]
             row["delta_ssim"] = ours["ssim"] - ref["ssim"]
@@ -70,14 +92,20 @@ def main() -> None:
     def fmt(v, nd=3):
         return f"{v:.{nd}f}" if isinstance(v, (int, float)) else "—"
 
-    print("| task | ref PSNR | ours PSNR | Δ (dB) | ref SSIM | ours SSIM | BN-recal Δ |")
-    print("|---|---|---|---|---|---|---|")
+    print("| task | ref PSNR | ours PSNR | Δ (dB) | ref SSIM | ours SSIM "
+          "| BN-recal Δ | seed spread | torch-init Δ | paired t |")
+    print("|---|---|---|---|---|---|---|---|---|---|")
     for r in rows:
         ref, ours = r.get("ref") or {}, r.get("ours") or {}
+        sr = r.get("seed_rerun") or {}
+        pe = r.get("paired_eval") or {}
         print(
             f"| {r['workdir']} | {fmt(ref.get('psnr'))} | {fmt(ours.get('psnr'))} "
             f"| {fmt(r.get('delta_psnr_db'), 3)} | {fmt(ref.get('ssim'), 4)} "
-            f"| {fmt(ours.get('ssim'), 4)} | {fmt(r.get('recal_delta_psnr_db'), 3)} |"
+            f"| {fmt(ours.get('ssim'), 4)} | {fmt(r.get('recal_delta_psnr_db'), 3)} "
+            f"| {fmt(sr.get('psnr_spread'), 3)} "
+            f"| {fmt(sr.get('torch_init_delta_psnr_db'), 3)} "
+            f"| {fmt(pe.get('paired_t'), 2)} |"
         )
 
     out_path = args.out or os.path.join(args.root, "parity_r3.json")
