@@ -42,6 +42,23 @@ def _env(cpu: bool) -> dict:
     return env
 
 
+def plan_variants(existing_runs, seeds, torch_init_ab: bool):
+    """Variant matrix minus what a prior (possibly partial) pass already ran.
+
+    Fresh seeds bound trajectory noise; the torch-default-init A/B at the
+    original seed bounds the init distribution (flax lecun_normal has 3x the
+    variance of torch kaiming_uniform(a=√5); see models/torch_init.py).
+    The ``original`` seed-42 entry counts as neither.
+    """
+    have_seeds = {r["seed"] for r in existing_runs
+                  if not r.get("torch_init") and not r.get("original")}
+    have_ti = any(r.get("torch_init") for r in existing_runs)
+    variants = [{"seed": s} for s in seeds if s not in have_seeds]
+    if torch_init_ab and not have_ti:
+        variants.append({"seed": 42, "torch_init": True})
+    return variants
+
+
 def rerun(workdir: str, task: str, seeds, cpu: bool, torch_init_ab: bool = True) -> dict:
     with open(os.path.join(workdir, f"{task}_parity.json")) as f:
         base = json.load(f)
@@ -64,16 +81,7 @@ def rerun(workdir: str, task: str, seeds, cpu: bool, torch_init_ab: bool = True)
             stock = extract_metrics(json.load(f)["run_dir"])
         out["runs"].append({"seed": 42, **stock, "original": True})
 
-    # Variant matrix: fresh seeds (trajectory-noise bound) plus a
-    # torch-default-init A/B at the original seed (init-distribution bound —
-    # flax lecun_normal has 3x the variance of torch kaiming_uniform(a=√5);
-    # see models/torch_init.py).
-    have_seeds = {r["seed"] for r in out["runs"]
-                  if not r.get("torch_init") and not r.get("original")}
-    have_ti = any(r.get("torch_init") for r in out["runs"])
-    variants = [{"seed": s} for s in seeds if s not in have_seeds]
-    if torch_init_ab and not have_ti:
-        variants.append({"seed": 42, "torch_init": True})
+    variants = plan_variants(out["runs"], seeds, torch_init_ab)
 
     for var in variants:
         seed = var["seed"]
