@@ -64,7 +64,8 @@ python -u tools/parity/ours_r3.py --root /tmp/parity_r3 \
   || echo "=== stage B second pass had failures ==="
 
 echo "=== stage B3: seed-variance reruns for any task ours lost $(date) ==="
-timeout 10800 python -u tools/parity/seed_rerun.py --root /tmp/parity_r3 --auto \
+# 3 losing tasks x (2 seeds + torch_init A/B) at ~25 min/run on TPU
+timeout 21600 python -u tools/parity/seed_rerun.py --root /tmp/parity_r3 --auto \
   || echo "=== stage B3 had failures ==="
 
 echo "=== stage B4: paired per-image checkpoint evals (CPU-hermetic) $(date) ==="
