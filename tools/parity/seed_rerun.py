@@ -59,7 +59,63 @@ def plan_variants(existing_runs, seeds, torch_init_ab: bool):
     return variants
 
 
-def rerun(workdir: str, task: str, seeds, cpu: bool, torch_init_ab: bool = True) -> dict:
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def claim_workdir(workdir: str) -> bool:
+    """Per-workdir pid claim so the CPU and TPU queues can race safely.
+
+    Two seed_rerun instances on the same task would each plan the full
+    variant matrix and the last ``seed_rerun.json`` writer would clobber the
+    other's runs.  A live claim by another pid means "skip this workdir";
+    a claim whose pid is dead is stale (the claimant crashed or predates
+    the claim code) and is taken over.
+    """
+    claim = os.path.join(workdir, "seed_rerun.claim")
+    if os.path.isfile(claim):
+        try:
+            other = int(open(claim).read().split()[0])
+        except (ValueError, IndexError, OSError):
+            other = None
+        if other is not None and other != os.getpid() and _pid_alive(other):
+            print(f"[seed_rerun] {workdir}: claimed by live pid {other}; skipping",
+                  flush=True)
+            return False
+    with open(claim, "w") as f:
+        f.write(f"{os.getpid()}\n")
+    return True
+
+
+def _merge_runs(on_disk_runs, new_runs):
+    """Union of run lists keyed by variant identity; fresh results win."""
+    def key(r):
+        return (r.get("seed"), bool(r.get("torch_init")), bool(r.get("original")))
+    merged = {key(r): r for r in on_disk_runs}
+    merged.update({key(r): r for r in new_runs})
+    return list(merged.values())
+
+
+def rerun(workdir: str, task: str, seeds, cpu: bool, torch_init_ab: bool = True):
+    if not claim_workdir(workdir):
+        return None
+    try:
+        return _rerun_claimed(workdir, task, seeds, cpu, torch_init_ab)
+    finally:
+        try:
+            os.remove(os.path.join(workdir, "seed_rerun.claim"))
+        except OSError:
+            pass
+
+
+def _rerun_claimed(workdir: str, task: str, seeds, cpu: bool,
+                   torch_init_ab: bool = True) -> dict:
     with open(os.path.join(workdir, f"{task}_parity.json")) as f:
         base = json.load(f)
 
@@ -112,6 +168,15 @@ def rerun(workdir: str, task: str, seeds, cpu: bool, torch_init_ab: bool = True)
         out["runs"].append({**var, **m})
         print(f"[seed_rerun] {task} {tag}: {m}", flush=True)
 
+    # Merge with whatever landed on disk while we ran (a racing instance
+    # that predates the claim code), then recompute the aggregates.
+    if os.path.isfile(out_path):
+        try:
+            with open(out_path) as f:
+                on_disk = json.load(f).get("runs", [])
+        except (json.JSONDecodeError, OSError):
+            on_disk = []
+        out["runs"] = _merge_runs(on_disk, out["runs"])
     seed_runs = [r for r in out["runs"] if not r.get("torch_init")]
     psnrs = [r["psnr"] for r in seed_runs]
     out["psnr_mean"] = sum(psnrs) / len(psnrs)
@@ -120,7 +185,7 @@ def rerun(workdir: str, task: str, seeds, cpu: bool, torch_init_ab: bool = True)
     orig = [r for r in out["runs"] if r.get("original")]
     if ti and orig:
         out["torch_init_delta_psnr_db"] = ti[0]["psnr"] - orig[0]["psnr"]
-    with open(os.path.join(workdir, "seed_rerun.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
     return out
 
