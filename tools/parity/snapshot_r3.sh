@@ -23,6 +23,16 @@ while true; do
   [ -f runs_classifier/r3_scale/summary.json ] && \
     cp -f runs_classifier/r3_scale/summary.json "$DEST/classifier_r3_scale_summary.json"
   [ -f config/serving_tuning.json ] && true  # already in-repo
+  # Raw logs of the heal-time TPU stages: the training/eval/bench tables
+  # print to stdout and would otherwise live only in ephemeral /tmp.  The
+  # watchdog log is only interesting (and only stops being probe noise)
+  # once the tunnel heals and the stage A + queue output lands in it.
+  for lg in /tmp/r3_stage_a.log /tmp/r3_queue.log; do
+    [ -f "$lg" ] && cp -f "$lg" "$DEST/logs_$(basename "$lg" .log).txt"
+  done
+  if grep -q "TUNNEL UP" /tmp/r3_watchdog.log 2>/dev/null; then
+    cp -f /tmp/r3_watchdog.log "$DEST/logs_r3_watchdog.txt"
+  fi
 
   if ! git diff --quiet -- "$DEST" || [ -n "$(git status --porcelain "$DEST")" ]; then
     for i in 1 2 3; do
