@@ -35,6 +35,30 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def resolve_thresholds(classes, packaged_path, run_path):
+    """Per-class routing thresholds, merged across the priority tiers.
+
+    Priority per class: the classifier run's own tuned ``thresholds_val.json``
+    → the packaged defaults tuned on the shipped synthetic quality run
+    (``config/classifier_thresholds.json``) → flat 0.5.  Merged per class,
+    not replaced per file: a run file that lacks some classes must fall back
+    to the packaged defaults for those, not to flat 0.5.
+
+    Returns ``(thresholds_list_in_class_order, source_description)``.
+    """
+    thr_by_class = {c: 0.5 for c in classes}
+    source = "flat 0.5"
+    for path in (packaged_path, run_path):
+        if path and os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                report = json.load(f)
+            found = {c: report["thresholds"][c] for c in classes if c in report["thresholds"]}
+            thr_by_class.update(found)
+            if found:
+                source = path
+    return [thr_by_class[c] for c in classes], source
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--images", required=True, help="directory of degraded images")
@@ -92,28 +116,13 @@ def main() -> None:
     }
     clf_vars = load_checkpoint(args.classifier, host_template)
 
-    # Threshold priority: the classifier run's own tuned thresholds_val.json
-    # → the packaged defaults tuned on the shipped synthetic quality run
-    # (config/classifier_thresholds.json) → flat 0.5.
-    thr_by_class = {c: 0.5 for c in classes}
     packaged = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         "multi_degradation_image_enhancement_tpu", "config",
         "classifier_thresholds.json",
     )
     thr_path = os.path.join(os.path.dirname(args.classifier), "thresholds_val.json")
-    thr_source = "flat 0.5"
-    # Merge per class (not replace): a run file that lacks some classes must
-    # fall back to the packaged defaults for those, not to flat 0.5.
-    for path in (packaged, thr_path):
-        if os.path.exists(path):
-            with open(path, encoding="utf-8") as f:
-                report = json.load(f)
-            found = {c: report["thresholds"][c] for c in classes if c in report["thresholds"]}
-            thr_by_class.update(found)
-            if found:
-                thr_source = path
-    thresholds = [thr_by_class[c] for c in classes]
+    thresholds, thr_source = resolve_thresholds(classes, packaged, thr_path)
     print(f"[pipeline] thresholds: {thr_source}")
 
     # ---- expert bank ----

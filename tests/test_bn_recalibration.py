@@ -102,3 +102,52 @@ def test_engine_bn_recalibration_rewrites_checkpoint(tmp_path):
     s1 = jax.tree_util.tree_leaves(w1["batch_stats"])
     s2 = jax.tree_util.tree_leaves(w2["batch_stats"])
     assert any(not np.allclose(a, b) for a, b in zip(s1, s2))
+
+
+def test_engine_bn_recalibration_keeps_prerecal_backup(tmp_path):
+    """ADVICE r2: the refresh is task-dependent (blur regresses −0.83 dB), so
+    the stock stats must stay recoverable next to the rewritten checkpoint."""
+    from multi_degradation_image_enhancement_tpu.engine import checkpoint as ckpt
+    from multi_degradation_image_enhancement_tpu.utils.config import load_config
+    from tests.test_engine import _tiny_config
+
+    import run as run_cli
+
+    cfg_dict = _tiny_config(tmp_path, n_epoch=1)
+    cfg_dict["train"]["bn_recalibration"] = True
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg_dict))
+    run_cli.main(load_config(str(cfg_path), phase="train"))
+
+    weights = tmp_path / "weights" / "tiny.pt"
+    backup = tmp_path / "weights" / "tiny.pt.prerecal"
+    assert weights.is_file() and backup.is_file()
+
+    x = jnp.zeros((1, 16, 24, 3), jnp.float32)
+    tmpl = TinyNet().init({"params": jax.random.key(0), "dropout": jax.random.key(1)}, x)
+    wr = ckpt.load_weights(str(weights), tmpl["params"], tmpl["batch_stats"])
+    wb = ckpt.load_weights(str(backup), tmpl["params"], tmpl["batch_stats"])
+    # params identical, stats rewritten relative to the backup
+    for a, b in zip(
+        jax.tree_util.tree_leaves(wr["params"]), jax.tree_util.tree_leaves(wb["params"])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    sr = jax.tree_util.tree_leaves(wr["batch_stats"])
+    sb = jax.tree_util.tree_leaves(wb["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(sr, sb))
+
+
+def test_recalibrate_bn_skips_cleanly_without_checkpoint(tmp_path, capsys):
+    """ADVICE r2: an all-NaN run never saves a checkpoint; recalibration must
+    skip with a diagnostic instead of raising FileNotFoundError."""
+    from multi_degradation_image_enhancement_tpu.utils.config import load_config
+    from run import build_session
+    from tests.test_engine import _tiny_config
+
+    cfg_dict = _tiny_config(tmp_path, n_epoch=1)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg_dict))
+    _, engine = build_session(load_config(str(cfg_path), phase="train"))
+    engine.recalibrate_bn(passes=1)  # no checkpoint saved yet
+    out = capsys.readouterr().out
+    assert "no checkpoint" in out

@@ -90,3 +90,32 @@ def test_serving_cli_end_to_end(tmp_path):
     ]
     assert [r["file"] for r in rows] == ["im0.png", "im1.png", "im2.png"]
     assert set(rows[0]["probs"]) == {"noise"}  # only the loaded expert
+
+
+def test_resolve_thresholds_merges_per_class(tmp_path):
+    """ADVICE r2: a run thresholds file lacking some classes must fall back
+    to the packaged defaults for those classes, not to flat 0.5 — and the
+    reported source is the last file that actually contributed."""
+    import json
+
+    from run_pipeline import resolve_thresholds
+
+    classes = ["noise", "blur", "jpeg"]
+    packaged = tmp_path / "packaged.json"
+    packaged.write_text(json.dumps({"thresholds": {"noise": 0.3, "blur": 0.4, "jpeg": 0.6}}))
+    run = tmp_path / "thresholds_val.json"
+    run.write_text(json.dumps({"thresholds": {"noise": 0.7}}))
+
+    thr, source = resolve_thresholds(classes, str(packaged), str(run))
+    assert thr == [0.7, 0.4, 0.6]  # run wins where present, packaged fills the rest
+    assert source == str(run)
+
+    # no run file -> packaged only
+    thr, source = resolve_thresholds(classes, str(packaged), str(tmp_path / "missing.json"))
+    assert thr == [0.3, 0.4, 0.6]
+    assert source == str(packaged)
+
+    # neither file -> flat 0.5
+    thr, source = resolve_thresholds(classes, str(tmp_path / "a.json"), str(tmp_path / "b.json"))
+    assert thr == [0.5, 0.5, 0.5]
+    assert source == "flat 0.5"
