@@ -91,14 +91,24 @@ def main() -> None:
         size = 64
 
     best = 0.0
-    for batch in candidates:
-        try:
-            rate = time_pipeline(batch, size, dtype, iters)
-        except Exception as e:  # OOM etc. — try the next batch size
-            print(f"[bench] batch={batch} failed: {e}", file=sys.stderr)
-            continue
-        print(f"[bench] batch={batch}: {rate:.1f} img/s", file=sys.stderr)
-        best = max(best, rate)
+    # The axon-tunneled backend's remote compiles occasionally 500/hang
+    # transiently; a failed attempt is retried (fresh sweep) before the
+    # bench concedes a 0 — but OOM-style failures still just fall through
+    # to the next batch size within a sweep.
+    for attempt in range(3 if on_tpu else 1):
+        for batch in candidates:
+            try:
+                rate = time_pipeline(batch, size, dtype, iters)
+            except Exception as e:  # OOM etc. — try the next batch size
+                print(f"[bench] batch={batch} failed: {e}", file=sys.stderr)
+                continue
+            print(f"[bench] batch={batch}: {rate:.1f} img/s", file=sys.stderr)
+            best = max(best, rate)
+        if best > 0.0:
+            break
+        if attempt < 2 and on_tpu:
+            print(f"[bench] sweep {attempt + 1} produced nothing; retrying", file=sys.stderr)
+            time.sleep(30)
 
     print(
         json.dumps(
