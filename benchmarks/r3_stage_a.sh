@@ -22,5 +22,5 @@ retry() {
 
 echo "=== STAGE A START $(date) ==="
 echo "--- serving variant sweep (bf16-act x K-stack) + persist winner ---"
-retry timeout 7200 python benchmarks/tune_serving.py
+retry timeout 10800 python benchmarks/tune_serving.py
 echo "=== STAGE A DONE $(date) ==="

@@ -4,8 +4,13 @@ the winner to ``config/serving_tuning.json`` (loaded by ``models.cdan_fast``
 at import), so the production serving defaults track hardware measurements
 even when nobody is around to flip module constants by hand.
 
-Sweeps (bf16_act, k_stack) over the v1 per-DenseBlock fused forward at the
-headline bench shape, forced-execution timing, one process, serialized.
+Sweeps (forward, bf16_act, k_stack) at the headline bench shape —
+``forward`` picks the per-DenseBlock fused path (v1) or the
+all-channel-major forward (``build_serving_apply``'s ``prefer_cm``
+dispatch) — forced-execution timing, one process, serialized.  The winner
+is gated on numerical sanity vs the first (conservative) variant: a combo
+whose output drifts past ``--max-diff`` (or goes non-finite) can win
+nothing, no matter how fast.
 
 Usage: python benchmarks/tune_serving.py [--batch 128] [--size 256]
        [--iters 20] [--dry-run]
@@ -24,12 +29,18 @@ import jax
 import jax.numpy as jnp
 
 COMBOS = [
-    # (bf16_act, k_stack_max_ci)
-    (False, 0),
-    (False, 48),
-    (False, 80),
-    (True, 0),
-    (True, 48),
+    # (prefer_cm, bf16_act, k_stack_max_ci) — first entry is the
+    # conservative baseline the sanity gate compares against.
+    (False, False, 0),
+    (False, False, 48),
+    (False, False, 80),
+    (False, True, 0),
+    (False, True, 48),
+    (True, False, 0),
+    (True, False, 48),
+    (True, False, 80),
+    (True, True, 0),
+    (True, True, 48),
 ]
 
 OUT_PATH = os.path.join(
@@ -45,6 +56,10 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--dry-run", action="store_true", help="measure only")
+    ap.add_argument("--max-diff", type=float, default=0.25,
+                    help="sanity gate: max |out - baseline variant| a winner "
+                         "may show (outputs are [0,1] images; bf16-class "
+                         "variant drift is ~1e-2, garbage is ~1e0)")
     args = ap.parse_args()
 
     import numpy as np
@@ -76,7 +91,12 @@ def main() -> None:
 
     ref_out = None
     results = []
-    for bf16_act, k in COMBOS:
+    for prefer_cm, bf16_act, k in COMBOS:
+        if prefer_cm and not cf.cm_forward_supported(args.size, args.size):
+            print(f"cm=1 bf16_act={int(bf16_act)} k={k}: CM unsupported at "
+                  f"{args.size}x{args.size}; skipped", flush=True)
+            continue
+        cf._SERVING_PREFER_CM = prefer_cm
         cf._DB_BF16_ACT = bf16_act
         cf._DB_K_STACK_MAX_CI = k
         forward = cf.build_serving_apply(variables, dtype)
@@ -87,40 +107,47 @@ def main() -> None:
 
         try:
             out = step(clean, key)
+            host = jax.device_get(out).astype("float32")
             if ref_out is None:
-                ref_out = jax.device_get(out).astype("float32")
+                ref_out = host
                 diff = 0.0
             else:
-                diff = float(
-                    np.abs(jax.device_get(out).astype("float32") - ref_out).max()
-                )
+                diff = float(np.abs(host - ref_out).max())
+            if not np.isfinite(host).all():
+                diff = float("inf")
             dt = forced_timeit(
                 lambda i: step(clean, jax.random.fold_in(key, i)), args.iters
             )
         except Exception as e:  # compile OOM etc. — record and move on
-            print(f"bf16_act={bf16_act} k={k}: FAILED {e}", flush=True)
+            print(f"cm={int(prefer_cm)} bf16_act={int(bf16_act)} k={k}: "
+                  f"FAILED {e}", flush=True)
             continue
         rate = args.batch / dt
-        results.append({"bf16_act": bf16_act, "k_stack": k,
-                        "ms_per_step": dt * 1e3, "img_per_s": rate,
-                        "maxdiff_vs_baseline_variant": diff})
+        sane = diff <= args.max_diff
+        results.append({"prefer_cm": prefer_cm, "bf16_act": bf16_act,
+                        "k_stack": k, "ms_per_step": dt * 1e3,
+                        "img_per_s": rate,
+                        "maxdiff_vs_baseline_variant": diff, "sane": sane})
         print(
-            f"bf16_act={int(bf16_act)} k={k:3d}: {dt*1e3:7.2f} ms/step "
-            f"{rate:7.1f} img/s  (maxdiff {diff:.3e})",
+            f"cm={int(prefer_cm)} bf16_act={int(bf16_act)} k={k:3d}: "
+            f"{dt*1e3:7.2f} ms/step {rate:7.1f} img/s  "
+            f"(maxdiff {diff:.3e}{'' if sane else '  INSANE — excluded'})",
             flush=True,
         )
 
-    if not results:
-        print("no variant succeeded; tuning file untouched", flush=True)
+    eligible = [r for r in results if r["sane"]]
+    if not eligible:
+        print("no sane variant succeeded; tuning file untouched", flush=True)
         sys.exit(1)
-    best = max(results, key=lambda r: r["img_per_s"])
-    print(f"winner: bf16_act={best['bf16_act']} k={best['k_stack']} "
-          f"({best['img_per_s']:.1f} img/s)", flush=True)
+    best = max(eligible, key=lambda r: r["img_per_s"])
+    print(f"winner: cm={best['prefer_cm']} bf16_act={best['bf16_act']} "
+          f"k={best['k_stack']} ({best['img_per_s']:.1f} img/s)", flush=True)
     if args.dry_run:
         return
     with open(OUT_PATH, "w") as f:
         json.dump(
             {
+                "prefer_cm": best["prefer_cm"],
                 "db_bf16_act": best["bf16_act"],
                 "db_k_stack_max_ci": best["k_stack"],
                 "provenance": {
