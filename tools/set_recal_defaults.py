@@ -52,9 +52,12 @@ def main() -> None:
             train = cfg.setdefault("train", {})
             before = train.get("bn_recalibration")
             if enable:
+                # NOTE: no "//" key — load_config strips text from "//" to
+                # end-of-line even inside strings (reference parser parity),
+                # which would corrupt the JSON.
                 train["bn_recalibration"] = {
                     "passes": args.passes,
-                    "//": f"measured recal ΔPSNR {delta:+.3f} dB (round-3 A/B)",
+                    "measured_delta_psnr_db": round(delta, 3),
                 }
             else:
                 train.pop("bn_recalibration", None)
