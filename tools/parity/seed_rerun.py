@@ -102,11 +102,13 @@ def _merge_runs(on_disk_runs, new_runs):
     return list(merged.values())
 
 
-def rerun(workdir: str, task: str, seeds, cpu: bool, torch_init_ab: bool = True):
+def rerun(workdir: str, task: str, seeds, cpu: bool, torch_init_ab: bool = True,
+          max_variants: int = 0):
     if not claim_workdir(workdir):
         return None
     try:
-        return _rerun_claimed(workdir, task, seeds, cpu, torch_init_ab)
+        return _rerun_claimed(workdir, task, seeds, cpu, torch_init_ab,
+                              max_variants=max_variants)
     finally:
         try:
             os.remove(os.path.join(workdir, "seed_rerun.claim"))
@@ -115,7 +117,7 @@ def rerun(workdir: str, task: str, seeds, cpu: bool, torch_init_ab: bool = True)
 
 
 def _rerun_claimed(workdir: str, task: str, seeds, cpu: bool,
-                   torch_init_ab: bool = True) -> dict:
+                   torch_init_ab: bool = True, max_variants: int = 0) -> dict:
     with open(os.path.join(workdir, f"{task}_parity.json")) as f:
         base = json.load(f)
 
@@ -138,6 +140,8 @@ def _rerun_claimed(workdir: str, task: str, seeds, cpu: bool,
         out["runs"].append({"seed": 42, **stock, "original": True})
 
     variants = plan_variants(out["runs"], seeds, torch_init_ab)
+    if max_variants:
+        variants = variants[:max_variants]
 
     for var in variants:
         seed = var["seed"]
@@ -212,6 +216,7 @@ def main() -> None:
         return
 
     assert args.auto, "pass --workdir/--task or --auto"
+    losers = []
     for entry in sorted(os.listdir(args.root)):
         workdir = os.path.join(args.root, entry)
         ab_path = os.path.join(workdir, "recal_ab.json")
@@ -223,15 +228,38 @@ def main() -> None:
         with open(ref_path) as f:
             ref = extract_metrics(json.load(f)["run_dir"])["psnr"]
         if ours < ref - args.margin:
-            print(f"[seed_rerun] {entry}: ours {ours:.3f} < ref {ref:.3f} — rerunning",
+            print(f"[seed_rerun] {entry}: ours {ours:.3f} < ref {ref:.3f} — queued",
                   flush=True)
-            try:
-                rerun(workdir, entry, seeds, args.cpu, torch_init_ab=ti_ab)
-            except Exception as e:
-                print(f"[seed_rerun] {entry} FAILED: {e}", flush=True)
+            losers.append(entry)
         else:
             print(f"[seed_rerun] {entry}: ours {ours:.3f} vs ref {ref:.3f} — ok",
                   flush=True)
+
+    # Breadth-first across tasks: one missing variant per losing task per
+    # cycle, so a time-boxed pass (the CPU window before the round ends, or
+    # a flaky-tunnel TPU slot) leaves every task with *some* variance
+    # evidence instead of exhausting the full matrix of the first task.
+    pending = dict.fromkeys(losers)
+    while pending:
+        progress = False
+        for entry in list(pending):
+            workdir = os.path.join(args.root, entry)
+            try:
+                out = rerun(workdir, entry, seeds, args.cpu,
+                            torch_init_ab=ti_ab, max_variants=1)
+            except Exception as e:
+                print(f"[seed_rerun] {entry} FAILED: {e}", flush=True)
+                del pending[entry]
+                continue
+            if out is None:  # claimed by another live worker
+                del pending[entry]
+                continue
+            progress = True
+            if not plan_variants(out["runs"], seeds, ti_ab):
+                print(f"[seed_rerun] {entry}: variant matrix complete", flush=True)
+                del pending[entry]
+        if not progress:
+            break
 
 
 if __name__ == "__main__":
