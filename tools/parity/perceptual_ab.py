@@ -71,6 +71,10 @@ def main() -> None:
     ap.add_argument("--task", default="jpeg")
     ap.add_argument("--cpu", action="store_true",
                     help="run both arms on JAX CPU (TPU tunnel down)")
+    ap.add_argument("--epochs", type=int, default=0,
+                    help="override n_epoch for BOTH arms (equal-epoch arms "
+                         "still isolate the perceptual terms; use to fit a "
+                         "short compute window)")
     args = ap.parse_args()
 
     if not _claim(args.workdir):
@@ -91,6 +95,8 @@ def main() -> None:
     for arm, terms in ARM_LOSSES.items():
         cfg = json.loads(json.dumps(base))
         cfg["loss"]["terms"] = terms
+        if args.epochs:
+            cfg["train"]["n_epoch"] = args.epochs
         cfg["name"] = cfg["task"] = f"{args.task}_pab_{arm}"
         cwd = os.path.join(args.workdir, f"pab_{arm}")
         os.makedirs(cwd, exist_ok=True)
