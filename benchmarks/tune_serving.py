@@ -45,6 +45,7 @@ COMBOS = [
 
 OUT_PATH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "multi_degradation_image_enhancement_tpu",
     "config",
     "serving_tuning.json",
 )

@@ -221,7 +221,7 @@ def _load_serving_tuning() -> None:
     path = os.environ.get(
         "MDIE_SERVING_TUNING",
         os.path.join(
-            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "config",
             "serving_tuning.json",
         ),
