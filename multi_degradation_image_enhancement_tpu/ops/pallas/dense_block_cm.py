@@ -427,7 +427,11 @@ def _run_cm_jit(
         scratch_shapes=[
             pltpu.VMEM((c_total, l_block), jnp.bfloat16),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        # 120 MiB (of the 128 MiB physical): the K-stack transients can run
+        # ~1.3 MiB past the _plan estimate at wide-W shapes (observed
+        # 101.29M kernel-stack demand at c0p=128, l_block=32K under the old
+        # 100 MiB cap).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(xt, *args)
 
@@ -676,7 +680,7 @@ def _run_cm2_jit(
         scratch_shapes=[
             pltpu.VMEM((c_total, n * l_img), jnp.bfloat16),
         ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=interpret,
     )(x_cm, *args)
     return out
