@@ -29,18 +29,19 @@ import jax
 import jax.numpy as jnp
 
 COMBOS = [
-    # (prefer_cm, bf16_act, k_stack_max_ci) — first entry is the
-    # conservative baseline the sanity gate compares against.
-    (False, False, 0),
-    (False, False, 48),
-    (False, False, 80),
-    (False, True, 0),
-    (False, True, 48),
-    (True, False, 0),
-    (True, False, 48),
-    (True, False, 80),
-    (True, True, 0),
-    (True, True, 48),
+    # (prefer_cm, bf16_act, k_stack_max_ci, nhwc_io) — first entry is the
+    # conservative baseline the sanity gate compares against.  The cm=True
+    # and bf16_act=True families measured behind across the board on
+    # 2026-08-18 (see config/serving_tuning.json provenance); one
+    # representative of each stays in the sweep to keep tracking them.
+    (False, False, 0, False),
+    (False, False, 48, False),
+    (False, False, 0, True),
+    (False, False, 48, True),
+    (False, False, 80, True),
+    (False, True, 48, True),
+    (True, False, 48, False),
+    (False, True, 48, False),
 ]
 
 OUT_PATH = os.path.join(
@@ -92,7 +93,7 @@ def main() -> None:
 
     ref_out = None
     results = []
-    for prefer_cm, bf16_act, k in COMBOS:
+    for prefer_cm, bf16_act, k, nhwc_io in COMBOS:
         if prefer_cm and not cf.cm_forward_supported(args.size, args.size):
             print(f"cm=1 bf16_act={int(bf16_act)} k={k}: CM unsupported at "
                   f"{args.size}x{args.size}; skipped", flush=True)
@@ -100,6 +101,7 @@ def main() -> None:
         cf._SERVING_PREFER_CM = prefer_cm
         cf._DB_BF16_ACT = bf16_act
         cf._DB_K_STACK_MAX_CI = k
+        cf._DB_NHWC_IO = nhwc_io
         forward = cf.build_serving_apply(variables, dtype)
 
         @jax.jit
@@ -120,18 +122,18 @@ def main() -> None:
                 lambda i: step(clean, jax.random.fold_in(key, i)), args.iters
             )
         except Exception as e:  # compile OOM etc. — record and move on
-            print(f"cm={int(prefer_cm)} bf16_act={int(bf16_act)} k={k}: "
-                  f"FAILED {e}", flush=True)
+            print(f"cm={int(prefer_cm)} bf16_act={int(bf16_act)} k={k} "
+                  f"nhwc={int(nhwc_io)}: FAILED {e}", flush=True)
             continue
         rate = args.batch / dt
         sane = diff <= args.max_diff
         results.append({"prefer_cm": prefer_cm, "bf16_act": bf16_act,
-                        "k_stack": k, "ms_per_step": dt * 1e3,
-                        "img_per_s": rate,
+                        "k_stack": k, "nhwc_io": nhwc_io,
+                        "ms_per_step": dt * 1e3, "img_per_s": rate,
                         "maxdiff_vs_baseline_variant": diff, "sane": sane})
         print(
-            f"cm={int(prefer_cm)} bf16_act={int(bf16_act)} k={k:3d}: "
-            f"{dt*1e3:7.2f} ms/step {rate:7.1f} img/s  "
+            f"cm={int(prefer_cm)} bf16_act={int(bf16_act)} k={k:3d} "
+            f"nhwc={int(nhwc_io)}: {dt*1e3:7.2f} ms/step {rate:7.1f} img/s  "
             f"(maxdiff {diff:.3e}{'' if sane else '  INSANE — excluded'})",
             flush=True,
         )
@@ -142,20 +144,25 @@ def main() -> None:
         sys.exit(1)
     best = max(eligible, key=lambda r: r["img_per_s"])
     print(f"winner: cm={best['prefer_cm']} bf16_act={best['bf16_act']} "
-          f"k={best['k_stack']} ({best['img_per_s']:.1f} img/s)", flush=True)
+          f"k={best['k_stack']} nhwc={best['nhwc_io']} "
+          f"({best['img_per_s']:.1f} img/s)", flush=True)
     if args.dry_run:
         return
+    import time as _time
+
     with open(OUT_PATH, "w") as f:
         json.dump(
             {
                 "prefer_cm": best["prefer_cm"],
                 "db_bf16_act": best["bf16_act"],
                 "db_k_stack_max_ci": best["k_stack"],
+                "db_nhwc_io": best["nhwc_io"],
                 "provenance": {
                     "script": "benchmarks/tune_serving.py",
                     "batch": args.batch,
                     "size": args.size,
                     "iters": args.iters,
+                    "date_utc": _time.strftime("%Y-%m-%d", _time.gmtime()),
                     "results": results,
                 },
             },

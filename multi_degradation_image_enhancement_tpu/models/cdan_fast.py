@@ -204,6 +204,13 @@ _DB_BF16_ACT = False
 # benchmarks patch it to A/B (see ops/pallas/dense_block_cm._K_STACK_MAX_CI).
 _DB_K_STACK_MAX_CI = None
 
+# NHWC fused-I/O DenseBlocks: feed the kernels the flattened NHWC operand
+# (free reshape) and run the CM transposes in VMEM as identity matmuls,
+# deleting the XLA boundary transposes entirely for the c ≥ 64 blocks
+# (dense1/2/3; final_dense stays CM — its c=3 NHWC block would pay 42×
+# lane padding).  Captured at build time; benchmarks patch it to A/B.
+_DB_NHWC_IO = False
+
 
 def _load_serving_tuning() -> None:
     """Apply measured serving-variant defaults from ``config/serving_tuning.json``.
@@ -217,7 +224,7 @@ def _load_serving_tuning() -> None:
     import json
     import os
 
-    global _DB_BF16_ACT, _DB_K_STACK_MAX_CI, _SERVING_PREFER_CM
+    global _DB_BF16_ACT, _DB_K_STACK_MAX_CI, _SERVING_PREFER_CM, _DB_NHWC_IO
     path = os.environ.get(
         "MDIE_SERVING_TUNING",
         os.path.join(
@@ -238,6 +245,8 @@ def _load_serving_tuning() -> None:
         _DB_K_STACK_MAX_CI = cfg["db_k_stack_max_ci"]
     if "prefer_cm" in cfg:
         _SERVING_PREFER_CM = bool(cfg["prefer_cm"])
+    if "db_nhwc_io" in cfg:
+        _DB_NHWC_IO = bool(cfg["db_nhwc_io"])
 
 
 def _maxpool2x2_cm(x: jax.Array, hw_shape) -> jax.Array:
@@ -479,10 +488,20 @@ def build_fast_apply(
 
     bf16_act = _DB_BF16_ACT
     k_stack = _DB_K_STACK_MAX_CI
+    nhwc_io = _DB_NHWC_IO
 
     def dense_block(x, name, c_in):
         c_out = c_in  # every CDAN DenseBlock is channel-preserving
         bsz, h, w = x.shape[0], x.shape[1], x.shape[2]
+        if nhwc_io and cm2_supported(h, w, c_in, c_out, nhwc_io=True):
+            # Transpose-free path: flattened-NHWC operand in and out (free
+            # reshapes); the CM transposes ride the MXU inside the kernel.
+            out2 = _run_cm2(
+                x.reshape(bsz, h * w, c_in), db_packed[name], c_in=c_in,
+                hw_shape=(h, w), bf16_act=bf16_act, k_stack_max_ci=k_stack,
+                nhwc_io=True, interpret=interpret,
+            )
+            return out2[:, :, :c_out].reshape(bsz, h, w, c_out)
         if cm2_supported(h, w, c_in, c_out):
             # Fused-I/O path: one bandwidth-speed transpose each way; halo
             # packing and interior extraction live inside the kernel.

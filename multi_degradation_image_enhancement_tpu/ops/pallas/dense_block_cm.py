@@ -442,8 +442,15 @@ def _run_cm_jit(
     return out
 
 
+def _eye(n: int, dtype) -> jax.Array:
+    """Identity matrix built from iota compares (Mosaic-safe jnp.eye)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    return (r == c).astype(dtype)
+
+
 def _kernel2(
-    x_ref,  # [n, c_in, HW] channel-major, no halos
+    x_ref,  # [n, c_in, HW] channel-major — or [n, HW, c_in] when nhwc_io
     *refs,
     c_in: int,
     c0p: int,
@@ -455,6 +462,7 @@ def _kernel2(
     out_dtype,
     bf16_act: bool,
     k_stack_max_ci: int,
+    nhwc_io: bool,
     interpret: bool,
 ):
     """Fused-I/O variant: halo packing and interior extraction happen here.
@@ -463,6 +471,14 @@ def _kernel2(
     XLA — ~6 HBM bandwidth passes per DenseBlock in context.  Here the
     operand is the natural channel-major tensor and the only XLA glue left
     is one transpose on each side (measured at bandwidth).
+
+    ``nhwc_io=True`` removes even those: the operand is the flattened NHWC
+    tensor ``[n, HW, c]`` (a free reshape for the caller) and the CM
+    transposes run in VMEM as identity matmuls — exact value copies whose
+    MXU cost (K=c contraction over HW lanes) is far below the ~2.4 ms an
+    XLA-materialised HBM transpose measures at the big grids (PERF.md).
+    Only worth it at c ≥ 64: a small-c NHWC Pallas operand pays lane
+    padding on the whole block, which is why ``final_dense`` stays CM.
     """
     (a0, b0, A0, p0, a1, b1, A1, p1, a2, b2, A2, p2, a3, b3, A3, p3,
      at, bt, At, pt, out_ref, feats) = refs
@@ -479,8 +495,20 @@ def _kernel2(
     # Build the halo'd channel-major input in VMEM: zero the x rows once,
     # then drop each image's interior into its slot.
     feats[0:c0p, :] = jnp.zeros((c0p, L), jnp.bfloat16)
+    if nhwc_io:
+        eye_in = _eye(c_in, jnp.bfloat16)
     for j in range(n_img):
-        feats[0:c_in, j * l_img + halo : j * l_img + halo + hw] = x_ref[j].astype(
+        if nhwc_io:
+            # [HW, c] → [c, HW] on the MXU: T[c, p] = Σ_k I[c,k]·X[p,k]
+            blk = jax.lax.dot_general(
+                eye_in,
+                x_ref[j].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            blk = x_ref[j]
+        feats[0:c_in, j * l_img + halo : j * l_img + halo + hw] = blk.astype(
             jnp.bfloat16
         )
 
@@ -558,19 +586,44 @@ def _kernel2(
         preferred_element_type=jnp.float32,
     ) + pt[:]
     ot = ot.astype(out_dtype)
-    for j in range(n_img):
-        out_ref[j, :, :] = ot[:, j * l_img + halo : j * l_img + halo + hw]
+    if nhwc_io:
+        c_outp = ot.shape[0]
+        eye_out = _eye(c_outp, jnp.bfloat16)
+        for j in range(n_img):
+            seg = ot[:, j * l_img + halo : j * l_img + halo + hw]
+            # [c, HW] → [HW, c] on the MXU: T[p, c] = Σ_k S[k,p]·I[k,c]
+            out_ref[j, :, :] = jax.lax.dot_general(
+                seg.astype(jnp.bfloat16),
+                eye_out,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_dtype)
+    else:
+        for j in range(n_img):
+            out_ref[j, :, :] = ot[:, j * l_img + halo : j * l_img + halo + hw]
 
 
-def _cm2_lane_bytes(c_in: int, c_outp: int, hw: int, l_img: int, k: int) -> int:
+def _lane128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+def _cm2_lane_bytes(
+    c_in: int, c_outp: int, hw: int, l_img: int, k: int, nhwc_io: bool = False
+) -> int:
     """VMEM bytes/lane for the fused-I/O kernel: feats (bf16) + live f32
-    matmul/roll/stack transients + the in/out blocks (hw lanes per image)."""
+    matmul/roll/stack transients + the in/out blocks (hw lanes per image).
+
+    NHWC-I/O blocks put the channel width on the 128-lane axis, so each
+    block pays lane padding to the next multiple of 128 (the reason this
+    mode is only offered at c ≥ 64)."""
     c0p = _ceil16(c_in)
     c_total = c0p + NUM_LAYERS * GROWTH
+    cin_eff = _lane128(c_in) if nhwc_io else c_in
+    cout_eff = _lane128(c_outp) if nhwc_io else c_outp
     return (
         2 * c_total
         + _transient_lane_bytes(c0p, k)
-        + (2 * c_in + 2 * c_outp) * hw // l_img
+        + (2 * cin_eff + 2 * cout_eff) * hw // l_img
     )
 
 
@@ -582,9 +635,14 @@ def _run_cm2(
     hw_shape: Tuple[int, int],
     bf16_act: bool = False,
     k_stack_max_ci: int | None = None,
+    nhwc_io: bool = False,
     interpret: bool,
 ):
     """Fused-I/O channel-major DenseBlock: ``[B, c_in, H*W] -> [B, c_outp, H*W]``.
+
+    With ``nhwc_io=True`` the contract is ``[B, H*W, c_in] -> [B, H*W,
+    c_outp]`` instead (flattened NHWC both ways — free reshapes for an NHWC
+    caller); the CM transposes run inside the kernel as identity matmuls.
 
     Requires the packed plan to fit whole images (the common case for CDAN's
     grids at the 64 MiB VMEM target — check :func:`cm2_supported`); callers
@@ -600,18 +658,20 @@ def _run_cm2(
     l_img = hw + 2 * HALO_ROWS * w_img
     c_outp = packed["At"].shape[0]
     while k > 0 and l_img > _VMEM_TARGET_BYTES_V2 // _cm2_lane_bytes(
-        c_in, c_outp, hw, l_img, k
+        c_in, c_outp, hw, l_img, k, nhwc_io
     ):
         k -= GROWTH
     return _run_cm2_jit(
         x_cm, packed, c_in=c_in, hw_shape=hw_shape, bf16_act=bf16_act,
-        k_stack_max_ci=max(k, 0), interpret=interpret,
+        k_stack_max_ci=max(k, 0), nhwc_io=nhwc_io, interpret=interpret,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("c_in", "hw_shape", "bf16_act", "k_stack_max_ci", "interpret"),
+    static_argnames=(
+        "c_in", "hw_shape", "bf16_act", "k_stack_max_ci", "nhwc_io", "interpret"
+    ),
 )
 def _run_cm2_jit(
     x_cm: jax.Array,
@@ -621,9 +681,11 @@ def _run_cm2_jit(
     hw_shape: Tuple[int, int],
     bf16_act: bool,
     k_stack_max_ci: int,
+    nhwc_io: bool = False,
     interpret: bool,
 ):
-    b, _, hw = x_cm.shape
+    b = x_cm.shape[0]
+    hw = x_cm.shape[1] if nhwc_io else x_cm.shape[2]
     h_img, w_img = hw_shape
     assert h_img * w_img == hw
     halo = HALO_ROWS * w_img
@@ -632,7 +694,7 @@ def _run_cm2_jit(
     c_outp = packed["At"].shape[0]
     c_total = c0p + NUM_LAYERS * GROWTH
 
-    bytes_per_lane = _cm2_lane_bytes(c_in, c_outp, hw, l_img, k_stack_max_ci)
+    bytes_per_lane = _cm2_lane_bytes(c_in, c_outp, hw, l_img, k_stack_max_ci, nhwc_io)
     # n-packing stays under the conservative 64 MiB budget (larger packs
     # measured to blow VMEM through register-allocator spill slots); a
     # single whole image may use the raised v2 ceiling.
@@ -649,9 +711,8 @@ def _run_cm2_jit(
     names = [f"{nm}{i}" for i in range(NUM_LAYERS) for nm in ("a", "b", "A", "bias")]
     names += ["at", "bt", "At", "biast"]
     const = lambda i: (0, 0)
-    in_specs = [
-        pl.BlockSpec((n, c_in, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    ]
+    in_block = (n, hw, c_in) if nhwc_io else (n, c_in, hw)
+    in_specs = [pl.BlockSpec(in_block, lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
     args: List[jax.Array] = []
     for nm in names:
         args.append(packed[nm])
@@ -669,14 +730,17 @@ def _run_cm2_jit(
         out_dtype=x_cm.dtype,
         bf16_act=bf16_act,
         k_stack_max_ci=k_stack_max_ci,
+        nhwc_io=nhwc_io,
         interpret=interpret,
     )
+    out_block = (n, hw, c_outp) if nhwc_io else (n, c_outp, hw)
+    out_shape = (b, hw, c_outp) if nhwc_io else (b, c_outp, hw)
     out = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((n, c_outp, hw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c_outp, hw), x_cm.dtype),
+        out_specs=pl.BlockSpec(out_block, lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(out_shape, x_cm.dtype),
         scratch_shapes=[
             pltpu.VMEM((c_total, n * l_img), jnp.bfloat16),
         ],
@@ -686,15 +750,23 @@ def _run_cm2_jit(
     return out
 
 
-def cm2_supported(h_img: int, w_img: int, c_in: int, c_out: int) -> bool:
+def cm2_supported(
+    h_img: int, w_img: int, c_in: int, c_out: int, nhwc_io: bool = False
+) -> bool:
     """Whether the fused-I/O packed path fits this grid at the VMEM target.
 
     Evaluated at K-stack width 0 — :func:`_run_cm2` degrades its stack width
     to fit, so any grid supported without stacking stays supported.
+
+    ``nhwc_io`` additionally requires c_in ≥ 64: below that the NHWC block's
+    lane padding (channels on the 128-lane axis) costs more DMA than the
+    XLA boundary transposes it removes.
     """
     hw = h_img * w_img
     l_img = hw + 2 * HALO_ROWS * w_img
-    bytes_per_lane = _cm2_lane_bytes(c_in, _ceil16(c_out), hw, l_img, 0)
+    if nhwc_io and c_in < 64:
+        return False
+    bytes_per_lane = _cm2_lane_bytes(c_in, _ceil16(c_out), hw, l_img, 0, nhwc_io)
     return l_img <= _VMEM_TARGET_BYTES_V2 // bytes_per_lane
 
 

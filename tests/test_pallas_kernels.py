@@ -94,6 +94,43 @@ def test_cm2_fused_io_matches_module(c_in, h, w):
     assert float(jnp.abs(ref - got).mean()) < 5e-3
 
 
+@pytest.mark.parametrize("c_in,h,w", [(64, 32, 48), (128, 16, 24)])
+def test_cm2_nhwc_io_matches_module(c_in, h, w):
+    """NHWC fused-I/O mode ([B,HW,C] operands, in-kernel identity-matmul
+    transposes) vs the Flax module — the transpose-free serving variant for
+    the c ≥ 64 DenseBlocks."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas.dense_block_cm import (
+        _run_cm2,
+        cm2_supported,
+        pack_params_cm,
+    )
+
+    assert cm2_supported(h, w, c_in, c_in, nhwc_io=True)
+    assert not cm2_supported(h, w, 3, 3, nhwc_io=True)  # small-c stays CM
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(2, h, w, c_in), jnp.float32)
+    m = DenseBlock(c_in)
+    v = m.init({"params": jax.random.key(0)}, x, train=False)
+    bs = jax.tree.map(
+        lambda t: jnp.asarray(rng.uniform(0.5, 1.5, t.shape), t.dtype), v["batch_stats"]
+    )
+    ref = m.apply({"params": v["params"], "batch_stats": bs}, x, train=False)
+    packed = pack_params_cm(v["params"], bs, c_in)
+    out2 = _run_cm2(
+        x.reshape(2, h * w, c_in), packed, c_in=c_in, hw_shape=(h, w),
+        nhwc_io=True, interpret=True,
+    )
+    got = out2[:, :, :c_in].reshape(2, h, w, c_in)
+    assert got.shape == ref.shape
+    assert float(jnp.abs(ref - got).max()) < 5e-2
+    assert float(jnp.abs(ref - got).mean()) < 5e-3
+    # agrees with the CM-operand form to bf16 round-trip noise
+    xcm = x.transpose(0, 3, 1, 2).reshape(2, c_in, h * w)
+    out_cm = _run_cm2(xcm, packed, c_in=c_in, hw_shape=(h, w), interpret=True)
+    got_cm = out_cm[:, : got.shape[-1], :].reshape(2, -1, h, w).transpose(0, 2, 3, 1)
+    assert float(jnp.abs(got - got_cm).max()) < 2e-2
+
+
 @pytest.mark.parametrize("c_in,h,w", [(64, 32, 48), (3, 16, 24)])
 def test_cm2_bf16_activate_matches_module(c_in, h, w):
     """bf16 affine+ReLU+mask variant stays inside the kernel's bf16-class

@@ -55,6 +55,12 @@ if [ "$(mins_left)" -ge 20 ]; then
   timeout 1200 python benchmarks/exp_rng.py || echo "=== stage J failed ==="
 fi
 
+if [ "$(mins_left)" -ge 60 ]; then
+  echo "=== stage T: serving tuner sweep (adds nhwc_io axis) $(date -u) ==="
+  timeout 3600 python benchmarks/tune_serving.py || echo "=== stage T failed ==="
+  timeout 1800 python bench.py || echo "=== stage T bench failed ==="
+fi
+
 if [ "$(mins_left)" -ge 30 ]; then
   echo "=== stage K: in-context serving profile $(date -u) ==="
   timeout 1800 python benchmarks/profile_fast.py || echo "=== stage K failed ==="
