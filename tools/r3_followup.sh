@@ -1,13 +1,18 @@
 #!/bin/bash
 # Round-3 follow-up TPU queue — starts when the main queue (r3_tpu_queue4)
-# exits, runs strictly serialized, deadline-aware.
+# exits, runs strictly serialized, deadline-aware.  Stage order is
+# irreplaceability-first:
 #
-#   H. full_noise BN-recal A/B (the 80-epoch longrun checkpoint never got
-#      the A/B the reduced-scale tasks all have)
-#   I. seed reruns for the two remaining unexplained losses
-#      (pixelation_easy, high_light) — PARITY.md promised these
-#   J. rng A/B confirm (bench.py switched the serving PRNG to rbg)
-#   K. in-context serving profile at the tuned winner (k_stack 48)
+#   D2. perceptual-term substitution A/B on the jpeg recipe (VERDICT 5 —
+#       the main queue's stage D crashed on the missing post-reset dataset;
+#       regenerated deterministically via run_parity --stage data)
+#   H.  full_noise BN-recal A/B (the 80-epoch longrun checkpoint never got
+#       the A/B the reduced-scale tasks all have)
+#   T.  serving tuner sweep (new nhwc_io axis) + headline bench
+#   J.  rng A/B confirm (bench.py switched the serving PRNG to rbg)
+#   I.  seed reruns for the remaining unexplained losses
+#   K.  in-context serving profile at the tuned winner
+#   L.  breadth-first seed-rerun top-up until the deadline
 #
 # Usage: MAIN_PID=<pid> DEADLINE_UTC="21:55" setsid nohup \
 #          bash tools/r3_followup.sh > /tmp/r3_followup.log 2>&1 &
@@ -34,11 +39,28 @@ if [ -n "${MAIN_PID}" ]; then
 fi
 echo "=== main queue done $(date -u) ($(mins_left) min left) ==="
 
+if [ "$(mins_left)" -ge 100 ] && [ ! -f /tmp/parity_r3/jpeg/perceptual_ab.json ]; then
+  echo "=== stage D2: perceptual A/B (jpeg) $(date -u) ==="
+  timeout 6000 python tools/parity/perceptual_ab.py \
+    --workdir /tmp/parity_r3/jpeg || echo "=== stage D2 failed ==="
+fi
+
 if [ "$(mins_left)" -ge 45 ] && [ ! -f /tmp/parity_r3/full_noise/recal_ab.json ]; then
   echo "=== stage H: full_noise BN-recal A/B $(date -u) ==="
   timeout 3600 python tools/parity/longrun_recal.py \
     --workdir /tmp/parity_r3/full_noise --task noise \
     || echo "=== stage H failed ==="
+fi
+
+if [ "$(mins_left)" -ge 60 ]; then
+  echo "=== stage T: serving tuner sweep (adds nhwc_io axis) $(date -u) ==="
+  timeout 3600 python benchmarks/tune_serving.py || echo "=== stage T failed ==="
+  timeout 1800 python bench.py || echo "=== stage T bench failed ==="
+fi
+
+if [ "$(mins_left)" -ge 20 ]; then
+  echo "=== stage J: rng A/B confirm $(date -u) ==="
+  timeout 1200 python benchmarks/exp_rng.py || echo "=== stage J failed ==="
 fi
 
 for task in pixelation_easy high_light; do
@@ -49,17 +71,6 @@ for task in pixelation_easy high_light; do
       || echo "=== stage I ${task} failed ==="
   fi
 done
-
-if [ "$(mins_left)" -ge 20 ]; then
-  echo "=== stage J: rng A/B confirm $(date -u) ==="
-  timeout 1200 python benchmarks/exp_rng.py || echo "=== stage J failed ==="
-fi
-
-if [ "$(mins_left)" -ge 60 ]; then
-  echo "=== stage T: serving tuner sweep (adds nhwc_io axis) $(date -u) ==="
-  timeout 3600 python benchmarks/tune_serving.py || echo "=== stage T failed ==="
-  timeout 1800 python bench.py || echo "=== stage T bench failed ==="
-fi
 
 if [ "$(mins_left)" -ge 30 ]; then
   echo "=== stage K: in-context serving profile $(date -u) ==="
