@@ -38,17 +38,20 @@ def test_nonedict_missing_keys():
 
 def test_all_shipped_configs_parse():
     # Task recipes only — the config dir also ships non-task data files
-    # (classifier_thresholds.json, the router defaults run_pipeline.py reads).
-    names = [
-        f
-        for f in os.listdir(CFG_DIR)
-        if f.endswith(".json") and f != "classifier_thresholds.json"
-    ]
-    assert len(names) >= 22  # 11 tasks × (paired + synthetic)
+    # (classifier_thresholds.json router defaults, serving_tuning.json
+    # measured-kernel-variant provenance).  Identify task recipes by
+    # content (a "model" block) rather than a name blacklist so new data
+    # files don't break the suite.
+    names = [f for f in os.listdir(CFG_DIR) if f.endswith(".json")]
+    task_names = []
     for name in names:
         cfg = load_config(os.path.join(CFG_DIR, name), phase="train")
+        if cfg["model"] is None:
+            continue
+        task_names.append(name)
         assert cfg["model"]["networks"][0]["name"][1] == "CDAN"
         assert cfg["train"]["dataset"] is not None
+    assert len(task_names) >= 22  # 11 tasks × (paired + synthetic)
 
 
 def test_reference_module_aliases_resolve():
