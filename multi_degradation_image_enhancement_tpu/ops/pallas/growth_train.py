@@ -180,6 +180,7 @@ def _bwd_kernel(
     db_ref,  # [cp, 1] f32 out, accumulated
     vs,  # scratch [cp, L] bf16
     dgs,  # scratch [144, L] bf16
+    dgps,  # scratch [16, L] f32 — halo-packed incoming gradient
     *,
     c_in: int,
     c0p: int,
@@ -208,14 +209,16 @@ def _bwd_kernel(
             z, 0.0
         ).astype(jnp.bfloat16)
 
-    # dg packed with zero halos, f32 for the lane rolls.
-    dgp = jnp.zeros((GROWTH, L), jnp.float32)
+    # dg packed with zero halos, f32 for the lane rolls.  Built in a
+    # scratch ref with *static* slice writes — a functional
+    # ``lax.dynamic_update_slice`` does not lower in Mosaic (TC kernels),
+    # even with constant start indices.
+    dgps[...] = jnp.zeros((GROWTH, L), jnp.float32)
     for j in range(n_img):
-        dgp = jax.lax.dynamic_update_slice(
-            dgp,
-            dg_ref[j].astype(jnp.float32),
-            (0, j * l_img + halo),
+        dgps[:, j * l_img + halo : j * l_img + halo + hw] = dg_ref[j].astype(
+            jnp.float32
         )
+    dgp = dgps[...]
 
     # dgs rows (i, j, o): roll(dg, (i-1)·W + (j-1)) with the dx mask applied
     # at the destination (j=0 ⇒ has_next, j=2 ⇒ has_prev — the W-periodic
@@ -421,6 +424,7 @@ def _bwd_call(x_cm, dg, a, b, A_pack, *, c_in, hw_shape, interpret):
         scratch_shapes=[
             pltpu.VMEM((c0p, n * l_img), jnp.bfloat16),
             pltpu.VMEM((9 * GROWTH, n * l_img), jnp.bfloat16),
+            pltpu.VMEM((GROWTH, n * l_img), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024
