@@ -30,9 +30,10 @@ M, K, N, BLOCKS = 1536, 512, 2048, 32
 
 
 def _mm_kernel(a_ref, b_ref, o_ref, *, acc_dtype):
-    o_ref[...] = jax.lax.dot_general(
-        a_ref[...],
-        b_ref[...],
+    # refs carry the leading grid-block dim: [1, M, K] / [1, K, N]
+    o_ref[0] = jax.lax.dot_general(
+        a_ref[0],
+        b_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=acc_dtype,
     ).astype(o_ref.dtype)
