@@ -242,7 +242,10 @@ def _bwd_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [cp, L]
-    m = (v > 0).astype(jnp.float32)  # vs > 0 ⟺ z > 0 ∧ inside
+    # vs > 0 ⟺ z > 0 ∧ inside.  Compare in f32: Mosaic on v5e cannot lower
+    # a bf16 vector compare (arith.cmpf on vector<..xbf16> → "Target does
+    # not support this comparison").
+    m = (v.astype(jnp.float32) > 0).astype(jnp.float32)
     dvm = dv * m
     dx_full = dvm * a_ref[:]
 
