@@ -56,6 +56,9 @@ HALO_ROWS = 2  # one 3×3 conv: support is ±(W+1) lanes; 2 rows cover it
 
 # Backward working set is the planner's binding case (dgs + vs + dv + I/O).
 _VMEM_TARGET_BYTES = 96 * 1024 * 1024
+# Backward-pass planning target (see _bwd_call): the bwd kernel's real
+# Mosaic stack runs ~2.3× the _plan_n per-lane estimate.
+_VMEM_TARGET_BWD_BYTES = 40 * 1024 * 1024
 
 # Forward growth layers at/below this padded width run as ONE K-stacked
 # ``A[48, 3cp] @ [roll(v,+1)·m; v; roll(v,-1)·m]`` matmul instead of three
@@ -278,7 +281,14 @@ def _bwd_kernel(
     da_ref[0:c_in, :] += da
 
 
-def _plan_n(b: int, c_in: int, hw: int, l_img: int, stack_bytes: int = 0) -> int:
+def _plan_n(
+    b: int,
+    c_in: int,
+    hw: int,
+    l_img: int,
+    stack_bytes: int = 0,
+    target_bytes: int = 0,
+) -> int:
     """Images per grid step so the backward working set fits VMEM."""
     cp = _ceil16(c_in)
     bytes_per_lane = (
@@ -289,7 +299,7 @@ def _plan_n(b: int, c_in: int, hw: int, l_img: int, stack_bytes: int = 0) -> int
         + stack_bytes  # f32 K-stack transient (stacked forward only)
         + (2 * 2 * c_in + 2 * 2 * GROWTH) * hw // l_img  # x/dx/dg/out blocks
     )
-    l_max = _VMEM_TARGET_BYTES // bytes_per_lane
+    l_max = (target_bytes or _VMEM_TARGET_BYTES) // bytes_per_lane
     n = 1
     for cand in range(min(max(l_max // l_img, 1), b), 0, -1):
         if b % cand == 0:
@@ -376,7 +386,16 @@ def _bwd_call(x_cm, dg, a, b, A_pack, *, c_in, hw_shape, interpret):
     halo = HALO_ROWS * w_img
     l_img = hw + 2 * halo
     c0p = _ceil16(c_in)
-    n = _plan_n(bsz, c_in, hw, l_img)
+    # The backward plans against a much smaller target than the per-lane
+    # estimate suggests: Mosaic's measured scoped-stack usage runs ~2.3×
+    # the estimate (the dv→mask→dvm→dx chain keeps several [cp, L] f32
+    # transients live, plus double-buffered blocks) — dense3 @b16·32×48
+    # planned at 96 MiB compiled to a 120 MiB stack and OOM'd the 110 MiB
+    # cap.  stack_bytes covers the dgps f32 packing scratch.
+    n = _plan_n(
+        bsz, c_in, hw, l_img, stack_bytes=4 * GROWTH,
+        target_bytes=_VMEM_TARGET_BWD_BYTES,
+    )
     g = bsz // n
 
     a2 = jnp.pad(a.astype(jnp.float32), (0, c0p - c_in))[:, None]
