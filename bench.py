@@ -53,7 +53,8 @@ def build_pipeline(batch: int, size: int, dtype):
     return jax.jit(step), clean
 
 
-def time_pipeline(batch: int, size: int, dtype, iters: int = 20) -> float:
+def time_pipeline(batch: int, size: int, dtype, iters: int = 20,
+                  scan_mode: bool = False) -> float:
     """Throughput with forced execution.
 
     ``block_until_ready`` is unreliable on the axon-tunneled TPU backend
@@ -61,15 +62,47 @@ def time_pipeline(batch: int, size: int, dtype, iters: int = 20) -> float:
     instead every iteration's output feeds a device-side accumulator and the
     timer closes over a host readback of the final scalar, so no step can be
     elided or outrun the clock.
+
+    ``scan_mode`` chains the iterations inside one jitted ``lax.scan`` and
+    fits per-step time as the slope between two scan lengths — used when the
+    tunnel's per-call dispatch RTT is degraded (observed ~120 ms vs healthy
+    ~1.7 ms), where a host loop would measure the tunnel, not this code.  On
+    a healthy tunnel the two methods agree (async dispatch hides RTT behind
+    the ~36 ms step).
     """
     step, clean = build_pipeline(batch, size, dtype)
-    reduce_mean = jax.jit(lambda acc, out: acc + jnp.mean(out))
     # Serving uses the TPU-native RBG PRNG (XLA RngBitGenerator) for the
     # degradation draws: same N(0,σ) noise semantics, measured ~0.75 ms/step
     # cheaper than threefry at B=128·256² (3.81 → 3.06 ms degrade stage).
     # Training keeps threefry (bit-reproducible key-derivation story).
     impl = "rbg" if jax.default_backend() != "cpu" else "threefry2x32"
     key = jax.random.key(0, impl=impl)
+
+    if scan_mode:
+        def scanned(n):
+            @jax.jit
+            def run(c, k):
+                def body(acc, i):
+                    return acc + jnp.mean(step(c, jax.random.fold_in(k, i))), None
+                acc, _ = jax.lax.scan(body, jnp.zeros(()), jnp.arange(n))
+                return acc
+            return run
+
+        def time_len(n):
+            run = scanned(n)
+            float(run(clean, key))  # compile + warm
+            best = float("inf")
+            for r in range(3):
+                t0 = time.perf_counter()
+                float(run(clean, jax.random.fold_in(key, 1000 + r)))
+                best = min(best, time.perf_counter() - t0)
+            return best
+
+        n1, n2 = max(iters // 4, 2), iters
+        per_step = (time_len(n2) - time_len(n1)) / (n2 - n1)
+        return batch / per_step
+
+    reduce_mean = jax.jit(lambda acc, out: acc + jnp.mean(out))
     # warmup / compile (forced via readback)
     acc = reduce_mean(jnp.zeros(()), step(clean, key))
     float(acc)
@@ -100,11 +133,31 @@ def _sanity_anchor_tflops() -> float:
     return 2 * 4096**3 / dt / 1e12
 
 
+def _compute_anchor_tflops() -> float:
+    """Device-side chained matmuls (one dispatch): isolates chip compute
+    from tunnel dispatch RTT — the two degrade independently on this host."""
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+
+    @jax.jit
+    def big(x):
+        def body(c, _):
+            return jnp.tanh(c @ x), None
+        c, _ = jax.lax.scan(body, x, None, length=20)
+        return jnp.mean(c)
+
+    float(big(a))  # warm
+    t0 = time.perf_counter()
+    float(big(a))
+    dt = time.perf_counter() - t0
+    return 20 * 2 * 4096**3 / dt / 1e12
+
+
 def main() -> None:
     on_tpu = jax.default_backend() != "cpu"
     size = 256
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
+    scan_mode = False
     if on_tpu:
         # Gate on chip health: if the anchor reads degraded, wait (bounded)
         # for the shared host to recover rather than recording a number
@@ -118,6 +171,20 @@ def main() -> None:
                 print("[bench] chip degraded (healthy ≈107); waiting 120 s",
                       file=sys.stderr)
                 time.sleep(120)
+        else:
+            # Anchor never recovered.  Two distinct failure axes (2026-08-19
+            # diagnosis): per-call dispatch RTT (~120 ms degraded vs 1.7 ms)
+            # and device compute (neighbor load).  If device-side compute is
+            # healthy, measure with the scan-chained method (per-step slope
+            # between two scan lengths — dispatch cancels exactly) instead of
+            # recording a tunnel-latency artifact as the headline.
+            ctf = _compute_anchor_tflops()
+            print(f"[bench] device-side compute anchor: {ctf:.1f} TF/s",
+                  file=sys.stderr)
+            if ctf >= 85.0:
+                scan_mode = True
+                print("[bench] dispatch degraded but compute healthy -> "
+                      "scan-chained timing", file=sys.stderr)
 
     if on_tpu:
         candidates = [128, 256]
@@ -135,7 +202,7 @@ def main() -> None:
     for attempt in range(3 if on_tpu else 1):
         for batch in candidates:
             try:
-                rate = time_pipeline(batch, size, dtype, iters)
+                rate = time_pipeline(batch, size, dtype, iters, scan_mode=scan_mode)
             except Exception as e:  # OOM etc. — try the next batch size
                 print(f"[bench] batch={batch} failed: {e}", file=sys.stderr)
                 continue
