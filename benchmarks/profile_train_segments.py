@@ -156,7 +156,8 @@ def main() -> None:
         gsum = sum(
             jnp.sum(g.astype(jnp.float32)) for g in jax.tree.leaves(grads)
         )
-        return (acc + loss + 0.0 * gsum, bs2), None
+        # 1e-30 (not 0.0) so no constant-folding pass can drop the grads.
+        return (acc + loss + 1e-30 * gsum, bs2), None
 
     def body_full(st, k):
         x, ks = synth(k)
