@@ -146,7 +146,8 @@ class DenseBlock(nn.Module):
 
             h_img, w_img, c0 = x.shape[1], x.shape[2], x.shape[3]
             cs = [c0 + self.growth_rate * i for i in range(self.num_layers)]
-            if all(growth_supported(h_img, w_img, c) for c in cs):
+            itemsize = jnp.dtype(x.dtype).itemsize
+            if all(growth_supported(h_img, w_img, c, itemsize) for c in cs):
                 return self._fused_impl(x, train)
         norm = train or self.stats_refresh
         feats = x

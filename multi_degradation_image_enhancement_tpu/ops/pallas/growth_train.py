@@ -59,6 +59,10 @@ _VMEM_TARGET_BYTES = 96 * 1024 * 1024
 # Backward-pass planning target (see _bwd_call): the bwd kernel's real
 # Mosaic stack runs ~2.3× the _plan_n per-lane estimate.
 _VMEM_TARGET_BWD_BYTES = 40 * 1024 * 1024
+# Hard scoped-VMEM cap passed to Mosaic (and the ceiling growth_supported
+# gates against).  v5e VMEM is 128 MiB; 110 leaves headroom for the
+# enclosing program's own double buffering.
+_VMEM_LIMIT_BYTES = 110 * 1024 * 1024
 
 # Forward growth layers at/below this padded width run as ONE K-stacked
 # ``A[48, 3cp] @ [roll(v,+1)·m; v; roll(v,-1)·m]`` matmul instead of three
@@ -308,15 +312,32 @@ def _plan_n(
     return n
 
 
-def growth_supported(h_img: int, w_img: int, c_in: int) -> bool:
-    """Whether one whole image fits the packed working set at the VMEM target."""
+def growth_supported(h_img: int, w_img: int, c_in: int, itemsize: int = 2) -> bool:
+    """Whether the BACKWARD kernel for one whole image fits scoped VMEM.
+
+    The binding constraint is the backward pallas_call's total scoped
+    allocation — Mosaic refuses to compile past ``vmem_limit_bytes``
+    (``Scoped allocation ... exceeded scoped vmem limit``), so an
+    optimistic gate crashes the whole train-step compile instead of
+    falling back to the canonical path.  Model, calibrated against the
+    compiler's own report for ``c_in=51 @ 256×256`` bf16 (measured
+    123.27 MiB; this model says 129.6 MiB — ~5% conservative):
+
+    - in/out windows, double-buffered: x + dx at ``itemsize`` (the DB
+      input is f32 in training — BN runs f32 — and bf16 in eval) and the
+      16-channel incoming gradient at the same dtype;
+    - scratch: ``vs`` bf16[cp, L] + ``dgs`` bf16[144, L] + ``dgps``
+      f32[16, L];
+    - Mosaic stack: the dv → mask → dvm → dx_full chain keeps ~4 live
+      f32[cp, L] transients (measured 3.7× at the anchor; 4× here).
+    """
     hw = h_img * w_img
     l_img = hw + 2 * HALO_ROWS * w_img
     cp = _ceil16(c_in)
-    bytes_per_lane = (
-        2 * cp + 2 * 144 + 4 * cp + 4 * 48 + (4 * c_in + 4 * GROWTH) * hw // l_img
-    )
-    return l_img <= _VMEM_TARGET_BYTES // bytes_per_lane
+    windows = 2 * itemsize * hw * (2 * c_in + GROWTH)
+    scratch = l_img * (2 * cp + 2 * 144 + 4 * GROWTH)
+    stack = 4 * 4 * cp * l_img
+    return windows + scratch + stack <= _VMEM_LIMIT_BYTES
 
 
 @functools.partial(
@@ -370,7 +391,7 @@ def _fwd_call(x_cm, a, b, A_pack, bias, *, c_in, hw_shape, k_stack, interpret):
         out_shape=jax.ShapeDtypeStruct((bsz, GROWTH, hw), x_cm.dtype),
         scratch_shapes=[pltpu.VMEM((c0p, n * l_img), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(x_cm, a2, b2, A2, bias2)
@@ -449,7 +470,7 @@ def _bwd_call(x_cm, dg, a, b, A_pack, *, c_in, hw_shape, interpret):
             pltpu.VMEM((GROWTH, n * l_img), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
         ),
         interpret=interpret,
     )(x_cm, dg, a2, b2, Ab)

@@ -275,3 +275,30 @@ def test_fused_cdan_matches_canonical_full_model():
     noise_floor = worst_rel(gb)
     fused_err = worst_rel(g1)
     assert fused_err < max(2.0 * noise_floor, 0.1), (fused_err, noise_floor)
+
+
+def test_growth_supported_backward_vmem_gate():
+    """The support gate must reject shapes whose BACKWARD kernel cannot
+    compile (Mosaic scoped-VMEM cap), per-dtype.
+
+    Anchor: c_in=51 @ 256x256 bf16 measured 123.27 MiB scoped (> the
+    110 MiB cap) on v5e — the shape that crashed the fused b128 train-step
+    compile (HTTP 500 from the remote compile helper) before the gate
+    modeled the backward.  In training the DB input is f32 (train-mode
+    BatchNorm runs f32), which is strictly larger.
+    """
+    # the measured-OOM shape: rejected at bf16 and f32
+    assert not growth_supported(256, 256, 51, itemsize=2)
+    assert not growth_supported(256, 256, 51, itemsize=4)
+    # final_dense first layers at 256x256 fit even in f32
+    assert growth_supported(256, 256, 3, itemsize=4)
+    assert growth_supported(256, 256, 19, itemsize=4)
+    # encoder dense blocks at the reference recipe shapes fit in f32
+    # (dense1 widest layer @128x192, dense2 @64x96, dense3 @32x48)
+    assert growth_supported(128, 192, 112, itemsize=4)
+    assert growth_supported(64, 96, 176, itemsize=4)
+    assert growth_supported(32, 48, 304, itemsize=4)
+    # final_dense at the 256x384 recipe resolution falls back (this is why
+    # the b16 256x384 profile compiled while b128 256x256 crashed: the old
+    # forward-biased gate rejected the former's L and passed the latter's)
+    assert not growth_supported(256, 384, 51, itemsize=4)
