@@ -285,6 +285,212 @@ def _bwd_kernel(
     da_ref[0:c_in, :] += da
 
 
+def _fwd_kernel_tiled(
+    x_ref,  # [1, 1, c, l_tile] — halo'd row-tile, REAL neighbour rows
+    a_ref,  # [cp, 1] f32
+    b_ref,  # [cp, 1] f32
+    A_ref,  # [48, 3cp] bf16
+    bias_ref,  # [16, 1] f32
+    out_ref,  # [1, 16, rows*W]
+    vs,  # scratch [cp, l_tile] bf16
+    *,
+    c_in: int,
+    c0p: int,
+    w_img: int,
+    h_img: int,
+    rows: int,
+    out_dtype,
+    interpret: bool,
+):
+    """Row-tiled forward: one tile of ``rows`` image rows plus HALO_ROWS real
+    rows per side (zero-padded by XLA at the image top/bottom).  Lane rolls
+    that wrap around the tile edge only ever pollute halo-row outputs, which
+    the interior slice discards — so no zero-lane halos are needed."""
+    t = pl.program_id(1)
+    L = (rows + 2 * HALO_ROWS) * w_img
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    col = q % w_img
+    has_next = jnp.where(col == w_img - 1, 0.0, 1.0)
+    has_prev = jnp.where(col == 0, 0.0, 1.0)
+    # global image row of each lane; SAME zero padding = v forced to 0 there
+    grow = q // w_img + t * rows - HALO_ROWS
+    inside = jnp.where((grow >= 0) & (grow < h_img), 1.0, 0.0)
+
+    z = x_ref[0, 0].astype(jnp.float32) * a_ref[0:c_in, :] + b_ref[0:c_in, :]
+    vs[...] = jnp.zeros((c0p, L), jnp.bfloat16)
+    vs[0:c_in, :] = (jnp.maximum(z, 0.0) * inside).astype(jnp.bfloat16)
+    v = vs[...]
+
+    def tap_dy(blk):
+        tt = jax.lax.dot_general(
+            A_ref[:, blk * c0p : (blk + 1) * c0p],
+            v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return (
+            _roll(tt[0:GROWTH, :], w_img, interpret=interpret)
+            + tt[GROWTH : 2 * GROWTH, :]
+            + _roll(tt[2 * GROWTH : 3 * GROWTH, :], -w_img, interpret=interpret)
+        )
+
+    gd = tap_dy(1)
+    gd = gd + _roll(tap_dy(0), 1, interpret=interpret) * has_prev
+    gd = gd + _roll(tap_dy(2), -1, interpret=interpret) * has_next
+    g = (gd + bias_ref[:]).astype(out_dtype)
+    halo = HALO_ROWS * w_img
+    out_ref[0, :, :] = g[:, halo : halo + rows * w_img]
+
+
+def _bwd_kernel_tiled(
+    x_ref,  # [1, 1, c, l_tile]
+    dg_ref,  # [1, 1, 16, l_tile] — halo'd incoming gradient (0 past edges)
+    a_ref,  # [cp, 1] f32
+    b_ref,  # [cp, 1] f32
+    Ab_ref,  # [cp, 144] bf16
+    dx_ref,  # [1, c, rows*W] out
+    dA_ref,  # [144, cp] f32 out, accumulated across the whole grid
+    da_ref,  # [cp, 1] f32 out, accumulated
+    db_ref,  # [cp, 1] f32 out, accumulated
+    vs,  # scratch [cp, l_tile] bf16
+    dgs,  # scratch [144, l_tile] bf16
+    *,
+    c_in: int,
+    c0p: int,
+    w_img: int,
+    h_img: int,
+    rows: int,
+    out_dtype,
+    interpret: bool,
+):
+    """Row-tiled backward.  dx at a tile's interior rows needs dg from ±1
+    row (inside the 2-row halo), so interior dv is complete; halo-row dv is
+    incomplete AND wrap-polluted, so every output (dx/dA/da/db) is masked to
+    the tile interior — tile interiors partition the image, giving each
+    pixel's contribution exactly once across the grid."""
+    t = pl.program_id(1)
+    L = (rows + 2 * HALO_ROWS) * w_img
+    q = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    col = q % w_img
+    has_next = jnp.where(col == w_img - 1, 0.0, 1.0)
+    has_prev = jnp.where(col == 0, 0.0, 1.0)
+    halo = HALO_ROWS * w_img
+    interior = jnp.where((q >= halo) & (q < halo + rows * w_img), 1.0, 0.0)
+    grow = q // w_img + t * rows - HALO_ROWS
+    inside = jnp.where((grow >= 0) & (grow < h_img), 1.0, 0.0)
+
+    z = x_ref[0, 0].astype(jnp.float32) * a_ref[0:c_in, :] + b_ref[0:c_in, :]
+    vs[...] = jnp.zeros((c0p, L), jnp.bfloat16)
+    vs[0:c_in, :] = (jnp.maximum(z, 0.0) * inside).astype(jnp.bfloat16)
+
+    dgp = dg_ref[0, 0].astype(jnp.float32)  # [16, L]
+    ones = jnp.ones((1, L), jnp.float32)
+    masks = (has_next, ones, has_prev)
+    for i in range(3):
+        for jj in range(3):
+            s = (i - 1) * w_img + (jj - 1)
+            blk = (i * 3 + jj) * GROWTH
+            dgs[blk : blk + GROWTH, :] = (
+                _roll(dgp, s, interpret=interpret) * masks[jj]
+            ).astype(jnp.bfloat16)
+
+    dgs_all = dgs[...]
+    v = vs[...]
+
+    dv = jax.lax.dot_general(
+        Ab_ref[:],
+        dgs_all,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m = (v.astype(jnp.float32) > 0).astype(jnp.float32)
+    dvm = dv * m
+    dvi = dvm * interior
+
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _init():
+        dA_ref[...] = jnp.zeros_like(dA_ref)
+        da_ref[...] = jnp.zeros_like(da_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    # dA contracts the lane axis of dgs and v at the SAME pixel, so masking
+    # either factor restricts the sum to interior pixels; v is 1 row vs 9.
+    vi = (v.astype(jnp.float32) * interior).astype(jnp.bfloat16)
+    dA_ref[...] += jax.lax.dot_general(
+        dgs_all,
+        vi,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_ref[...] += jnp.sum(dvi, axis=1, keepdims=True)
+    da_ref[0:c_in, :] += jnp.sum(
+        dvi[0:c_in, :] * x_ref[0, 0].astype(jnp.float32), axis=1, keepdims=True
+    )
+    dx_ref[0, :, :] = (dvm * a_ref[:])[
+        0:c_in, halo : halo + rows * w_img
+    ].astype(out_dtype)
+
+
+def _tile_halod(arr_cm: jax.Array, h: int, w: int, rows: int) -> jax.Array:
+    """``[B, C, HW]`` → ``[B, T, C, (rows+2·HALO)·W]`` overlapping row-tiles.
+
+    Real neighbour rows fill the halos (zeros past the image edges), so the
+    kernels' lane rolls see exactly the SAME-padding context.  XLA runs this
+    as pad+strided-gather at bandwidth speed; HBM duplication is
+    ``(rows+4)/rows``.
+    """
+    B, C, _ = arr_cm.shape
+    x4 = arr_cm.reshape(B, C, h, w)
+    xp = jnp.pad(x4, ((0, 0), (0, 0), (HALO_ROWS, HALO_ROWS), (0, 0)))
+    T = h // rows
+    tiles = jnp.stack(
+        [xp[:, :, t * rows : t * rows + rows + 2 * HALO_ROWS] for t in range(T)],
+        axis=1,
+    )
+    return tiles.reshape(B, T, C, (rows + 2 * HALO_ROWS) * w)
+
+
+def _bwd_bytes(c_in: int, w_img: int, lanes: int, itemsize: int, out_lanes: int) -> int:
+    """Backward scoped-VMEM model for a block of ``lanes`` total lanes
+    (windows double-buffered + scratch + ~4 live f32[cp, L] Mosaic stack;
+    calibration: c=51@256² bf16 whole-image → model 129.6 MiB vs the
+    compiler's reported 123.27 MiB)."""
+    cp = _ceil16(c_in)
+    windows = 2 * itemsize * (c_in * lanes + GROWTH * lanes + c_in * out_lanes)
+    scratch = lanes * (2 * cp + 2 * 144 + 4 * GROWTH)
+    stack = 4 * 4 * cp * lanes
+    return windows + scratch + stack
+
+
+def _fwd_bytes(c_in: int, w_img: int, lanes: int, itemsize: int, out_lanes: int) -> int:
+    """Forward model: x window + g output + vs scratch + ~3 live f32[48, L]
+    tap transients and one f32[cp, L].  (``w_img`` unused; uniform call.)"""
+    cp = _ceil16(c_in)
+    windows = 2 * itemsize * (c_in * lanes + GROWTH * out_lanes)
+    scratch = lanes * 2 * cp
+    stack = (3 * 4 * 3 * GROWTH + 4 * cp) * lanes
+    return windows + scratch + stack
+
+
+def _mode_rows(h_img: int, w_img: int, c_in: int, itemsize: int, forward: bool) -> int:
+    """0 = whole-image mode fits; R>0 = largest row-tile that fits;
+    -1 = nothing fits (no divisor of H small enough)."""
+    hw = h_img * w_img
+    l_img = hw + 2 * HALO_ROWS * w_img
+    fits = _fwd_bytes if forward else _bwd_bytes
+    if fits(c_in, w_img, l_img, itemsize, hw) <= _VMEM_LIMIT_BYTES:
+        return 0
+    for rows in range(h_img // 2, 0, -1):
+        if h_img % rows:
+            continue
+        lt = (rows + 2 * HALO_ROWS) * w_img
+        if fits(c_in, w_img, lt, itemsize, rows * w_img) <= _VMEM_LIMIT_BYTES:
+            return rows
+    return -1
+
+
 def _plan_n(
     b: int,
     c_in: int,
@@ -313,31 +519,27 @@ def _plan_n(
 
 
 def growth_supported(h_img: int, w_img: int, c_in: int, itemsize: int = 2) -> bool:
-    """Whether the BACKWARD kernel for one whole image fits scoped VMEM.
+    """Whether forward AND backward have a compilable mode at this shape.
 
-    The binding constraint is the backward pallas_call's total scoped
-    allocation — Mosaic refuses to compile past ``vmem_limit_bytes``
-    (``Scoped allocation ... exceeded scoped vmem limit``), so an
-    optimistic gate crashes the whole train-step compile instead of
-    falling back to the canonical path.  Model, calibrated against the
-    compiler's own report for ``c_in=51 @ 256×256`` bf16 (measured
-    123.27 MiB; this model says 129.6 MiB — ~5% conservative):
+    The binding constraint is each pallas_call's total scoped VMEM —
+    Mosaic refuses to compile past ``vmem_limit_bytes`` (``Scoped
+    allocation ... exceeded scoped vmem limit``), so an optimistic gate
+    crashes the whole train-step compile instead of falling back.  Each
+    pass independently picks whole-image packing or row-tiling
+    (:func:`_mode_rows`; backward model calibrated against the compiler's
+    own report for ``c_in=51 @ 256×256`` bf16 — measured 123.27 MiB, model
+    129.6 MiB, ~5% conservative).  ``itemsize`` is the DB input's dtype
+    size: f32 in training (train-mode BN runs f32), bf16 in eval.  With
+    row-tiling available this only returns False when no divisor of H
+    yields a small-enough tile (pathological W·c)."""
+    return (
+        _mode_rows(h_img, w_img, c_in, itemsize, forward=True) >= 0
+        and _mode_rows(h_img, w_img, c_in, itemsize, forward=False) >= 0
+    )
 
-    - in/out windows, double-buffered: x + dx at ``itemsize`` (the DB
-      input is f32 in training — BN runs f32 — and bf16 in eval) and the
-      16-channel incoming gradient at the same dtype;
-    - scratch: ``vs`` bf16[cp, L] + ``dgs`` bf16[144, L] + ``dgps``
-      f32[16, L];
-    - Mosaic stack: the dv → mask → dvm → dx_full chain keeps ~4 live
-      f32[cp, L] transients (measured 3.7× at the anchor; 4× here).
-    """
-    hw = h_img * w_img
-    l_img = hw + 2 * HALO_ROWS * w_img
-    cp = _ceil16(c_in)
-    windows = 2 * itemsize * hw * (2 * c_in + GROWTH)
-    scratch = l_img * (2 * cp + 2 * 144 + 4 * GROWTH)
-    stack = 4 * 4 * cp * l_img
-    return windows + scratch + stack <= _VMEM_LIMIT_BYTES
+
+# Test hook: force the row-tiled path at this tile height (None = auto).
+_FORCE_TILE_ROWS = None
 
 
 @functools.partial(
@@ -349,6 +551,14 @@ def _fwd_call(x_cm, a, b, A_pack, bias, *, c_in, hw_shape, k_stack, interpret):
     halo = HALO_ROWS * w_img
     l_img = hw + 2 * halo
     c0p = _ceil16(c_in)
+    rows = _FORCE_TILE_ROWS or _mode_rows(
+        h_img, w_img, c_in, jnp.dtype(x_cm.dtype).itemsize, forward=True
+    )
+    if rows > 0:
+        return _fwd_call_tiled(
+            x_cm, a, b, A_pack, bias,
+            c_in=c_in, hw_shape=hw_shape, rows=rows, interpret=interpret,
+        )
     # The f32 tap-stack transient adds 4·3·c0p bytes/lane; degrade to the
     # unstacked form rather than exceed the VMEM target on one image.
     if k_stack and l_img * (4 * 3 * c0p) > _VMEM_TARGET_BYTES // 2:
@@ -399,6 +609,141 @@ def _fwd_call(x_cm, a, b, A_pack, bias, *, c_in, hw_shape, k_stack, interpret):
 
 
 @functools.partial(
+    jax.jit, static_argnames=("c_in", "hw_shape", "rows", "interpret")
+)
+def _fwd_call_tiled(x_cm, a, b, A_pack, bias, *, c_in, hw_shape, rows, interpret):
+    bsz, _, hw = x_cm.shape
+    h_img, w_img = hw_shape
+    c0p = _ceil16(c_in)
+    T = h_img // rows
+    l_tile = (rows + 2 * HALO_ROWS) * w_img
+
+    a2 = jnp.pad(a.astype(jnp.float32), (0, c0p - c_in))[:, None]
+    b2 = jnp.pad(b.astype(jnp.float32), (0, c0p - c_in))[:, None]
+    A2 = A_pack.astype(jnp.bfloat16)
+    bias2 = bias.astype(jnp.float32)[:, None]
+    x_t = _tile_halod(x_cm, h_img, w_img, rows)
+
+    kernel = functools.partial(
+        _fwd_kernel_tiled,
+        c_in=c_in,
+        c0p=c0p,
+        w_img=w_img,
+        h_img=h_img,
+        rows=rows,
+        out_dtype=x_cm.dtype,
+        interpret=interpret,
+    )
+    const2 = lambda i, t: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bsz, T),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, c_in, l_tile), lambda i, t: (i, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(a2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(A2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(bias2.shape, const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, GROWTH, rows * w_img), lambda i, t: (i, 0, t),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, GROWTH, hw), x_cm.dtype),
+        scratch_shapes=[pltpu.VMEM((c0p, l_tile), jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(x_t, a2, b2, A2, bias2)
+    return out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("c_in", "hw_shape", "rows", "interpret")
+)
+def _bwd_call_tiled(x_cm, dg, a, b, A_pack, *, c_in, hw_shape, rows, interpret):
+    bsz, _, hw = x_cm.shape
+    h_img, w_img = hw_shape
+    c0p = _ceil16(c_in)
+    T = h_img // rows
+    l_tile = (rows + 2 * HALO_ROWS) * w_img
+
+    a2 = jnp.pad(a.astype(jnp.float32), (0, c0p - c_in))[:, None]
+    b2 = jnp.pad(b.astype(jnp.float32), (0, c0p - c_in))[:, None]
+    Ab = (
+        A_pack.reshape(3, GROWTH, 3, c0p)
+        .transpose(3, 0, 2, 1)
+        .reshape(c0p, 9 * GROWTH)
+        .astype(jnp.bfloat16)
+    )
+    x_t = _tile_halod(x_cm, h_img, w_img, rows)
+    dg_t = _tile_halod(dg, h_img, w_img, rows)
+
+    kernel = functools.partial(
+        _bwd_kernel_tiled,
+        c_in=c_in,
+        c0p=c0p,
+        w_img=w_img,
+        h_img=h_img,
+        rows=rows,
+        out_dtype=x_cm.dtype,
+        interpret=interpret,
+    )
+    const2 = lambda i, t: (0, 0)
+    dx, dA_all, da, db = pl.pallas_call(
+        kernel,
+        grid=(bsz, T),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, c_in, l_tile), lambda i, t: (i, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, GROWTH, l_tile), lambda i, t: (i, t, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(a2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(b2.shape, const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec(Ab.shape, const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, c_in, rows * w_img), lambda i, t: (i, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((9 * GROWTH, c0p), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c0p, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c0p, 1), const2, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, c_in, hw), x_cm.dtype),
+            jax.ShapeDtypeStruct((9 * GROWTH, c0p), jnp.float32),
+            jax.ShapeDtypeStruct((c0p, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c0p, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((c0p, l_tile), jnp.bfloat16),
+            pltpu.VMEM((9 * GROWTH, l_tile), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES
+        ),
+        interpret=interpret,
+    )(x_t, dg_t, a2, b2, Ab)
+
+    dA_pack = (
+        dA_all.reshape(3, 3, GROWTH, c0p)
+        .transpose(0, 2, 1, 3)
+        .reshape(3 * GROWTH, 3 * c0p)
+    )
+    return dx, dA_pack, da[0:c_in, 0], db[0:c_in, 0]
+
+
+@functools.partial(
     jax.jit, static_argnames=("c_in", "hw_shape", "interpret")
 )
 def _bwd_call(x_cm, dg, a, b, A_pack, *, c_in, hw_shape, interpret):
@@ -407,6 +752,14 @@ def _bwd_call(x_cm, dg, a, b, A_pack, *, c_in, hw_shape, interpret):
     halo = HALO_ROWS * w_img
     l_img = hw + 2 * halo
     c0p = _ceil16(c_in)
+    rows = _FORCE_TILE_ROWS or _mode_rows(
+        h_img, w_img, c_in, jnp.dtype(x_cm.dtype).itemsize, forward=False
+    )
+    if rows > 0:
+        return _bwd_call_tiled(
+            x_cm, dg, a, b, A_pack,
+            c_in=c_in, hw_shape=hw_shape, rows=rows, interpret=interpret,
+        )
     # The backward plans against a much smaller target than the per-lane
     # estimate suggests: Mosaic's measured scoped-stack usage runs ~2.3×
     # the estimate (the dv→mask→dvm→dx chain keeps several [cp, L] f32

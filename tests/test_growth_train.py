@@ -278,27 +278,94 @@ def test_fused_cdan_matches_canonical_full_model():
 
 
 def test_growth_supported_backward_vmem_gate():
-    """The support gate must reject shapes whose BACKWARD kernel cannot
-    compile (Mosaic scoped-VMEM cap), per-dtype.
+    """Whole-image packing must be rejected for shapes whose BACKWARD
+    kernel cannot compile (Mosaic scoped-VMEM cap), per-dtype.
 
     Anchor: c_in=51 @ 256x256 bf16 measured 123.27 MiB scoped (> the
     110 MiB cap) on v5e — the shape that crashed the fused b128 train-step
-    compile (HTTP 500 from the remote compile helper) before the gate
-    modeled the backward.  In training the DB input is f32 (train-mode
-    BatchNorm runs f32), which is strictly larger.
+    compile (HTTP 500 from the remote compile helper) before the mode
+    planner modeled the backward.  In training the DB input is f32
+    (train-mode BatchNorm runs f32), which is strictly larger.  These
+    shapes now resolve to row-tiling instead (see
+    test_mode_rows_picks_tiling_where_whole_image_cannot_compile).
     """
-    # the measured-OOM shape: rejected at bf16 and f32
-    assert not growth_supported(256, 256, 51, itemsize=2)
-    assert not growth_supported(256, 256, 51, itemsize=4)
-    # final_dense first layers at 256x256 fit even in f32
-    assert growth_supported(256, 256, 3, itemsize=4)
-    assert growth_supported(256, 256, 19, itemsize=4)
-    # encoder dense blocks at the reference recipe shapes fit in f32
+    from multi_degradation_image_enhancement_tpu.ops.pallas.growth_train import (
+        _mode_rows,
+    )
+
+    # the measured-OOM shape: whole-image packing rejected at bf16 and f32
+    assert _mode_rows(256, 256, 51, 2, forward=False) != 0
+    assert _mode_rows(256, 256, 51, 4, forward=False) != 0
+    # final_dense first layers at 256x256 keep whole-image mode even in f32
+    assert _mode_rows(256, 256, 3, 4, forward=False) == 0
+    assert _mode_rows(256, 256, 19, 4, forward=False) == 0
+    # encoder dense blocks at the reference recipe shapes fit whole in f32
     # (dense1 widest layer @128x192, dense2 @64x96, dense3 @32x48)
-    assert growth_supported(128, 192, 112, itemsize=4)
-    assert growth_supported(64, 96, 176, itemsize=4)
-    assert growth_supported(32, 48, 304, itemsize=4)
-    # final_dense at the 256x384 recipe resolution falls back (this is why
-    # the b16 256x384 profile compiled while b128 256x256 crashed: the old
-    # forward-biased gate rejected the former's L and passed the latter's)
-    assert not growth_supported(256, 384, 51, itemsize=4)
+    assert _mode_rows(128, 192, 112, 4, forward=False) == 0
+    assert _mode_rows(64, 96, 176, 4, forward=False) == 0
+    assert _mode_rows(32, 48, 304, 4, forward=False) == 0
+    # final_dense at the 256x384 recipe resolution cannot pack whole (this
+    # is why the b16 256x384 profile compiled while b128 256x256 crashed:
+    # the old forward-biased gate rejected the former's L, passed the
+    # latter's) — and the gate itself now says yes via tiling
+    assert _mode_rows(256, 384, 51, 4, forward=False) != 0
+    assert growth_supported(256, 384, 51, itemsize=4)
+
+
+@pytest.mark.parametrize("B,c,h,w,rows", [(2, 19, 12, 16, 3), (1, 3, 8, 8, 2), (2, 35, 8, 16, 4)])
+def test_growth_layer_tiled_grad_matches_autodiff(B, c, h, w, rows):
+    """Row-tiled fwd/bwd (the VMEM-cap escape for big grids) must match the
+    whole-image math exactly: interior masking partitions each pixel's
+    contribution across tiles, zero-padded halos reproduce SAME padding at
+    the image top/bottom, and wrap-around rolls only touch discarded rows."""
+    from multi_degradation_image_enhancement_tpu.ops.pallas import growth_train
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(B, c, h * w), jnp.float32)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, c), jnp.float32)
+    b = jnp.asarray(rng.randn(c) * 0.1, jnp.float32)
+    kernel = jnp.asarray(rng.randn(3, 3, c, 16) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.randn(16) * 0.1, jnp.float32)
+    cp = _ceil16(c)
+
+    def ours(x, a, b, kernel, bias):
+        return growth_layer_cm(
+            x, a, b, pack_growth(kernel, cp), bias, c, (h, w), True
+        )
+
+    old = growth_train._FORCE_TILE_ROWS
+    growth_train._FORCE_TILE_ROWS = rows
+    try:
+        g_ref = _ref_layer(x, a, b, kernel, bias, (h, w))
+        g_our = ours(x, a, b, kernel, bias)
+        scale = float(jnp.abs(g_ref).max())
+        assert float(jnp.abs(g_ref - g_our).max()) < 2e-2 * max(scale, 1.0)
+
+        R = jnp.asarray(rng.randn(*g_ref.shape), jnp.float32)
+        gr = jax.grad(
+            lambda *args: jnp.sum(_ref_layer(*args, (h, w)) * R),
+            argnums=(0, 1, 2, 3, 4),
+        )(x, a, b, kernel, bias)
+        go = jax.grad(
+            lambda *args: jnp.sum(ours(*args) * R), argnums=(0, 1, 2, 3, 4)
+        )(x, a, b, kernel, bias)
+        for p, q in zip(gr, go):
+            sc = max(float(jnp.abs(p).max()), 1.0)
+            assert float(jnp.abs(p - q).max()) < 3e-2 * sc, (p.shape, float(jnp.abs(p - q).max()), sc)
+    finally:
+        growth_train._FORCE_TILE_ROWS = old
+
+
+def test_mode_rows_picks_tiling_where_whole_image_cannot_compile():
+    from multi_degradation_image_enhancement_tpu.ops.pallas.growth_train import (
+        _mode_rows,
+    )
+
+    # the measured-OOM whole-image shape now resolves to a row-tile…
+    assert _mode_rows(256, 256, 51, 4, forward=False) > 0
+    assert _mode_rows(256, 384, 51, 4, forward=False) > 0
+    # …so the gate accepts final_dense at both recipe resolutions
+    assert growth_supported(256, 256, 51, itemsize=4)
+    assert growth_supported(256, 384, 51, itemsize=4)
+    # small shapes keep whole-image packing (no tiling overhead)
+    assert _mode_rows(32, 48, 51, 4, forward=False) == 0
