@@ -257,9 +257,15 @@ class Model(BaseModel):
             prof_cfg.get("enabled", False)
         ) else set()
 
+        # train.scan_chunk: K>1 chains K optimizer steps inside ONE jitted
+        # lax.scan (device-side loop, TrainState carry) so per-step host
+        # dispatch overhead amortizes K-fold.  Off by default (K<=1).
+        self.scan_chunk = int((cfg.get("train", {}) or {}).get("scan_chunk", 0) or 0)
+
         self.state: Optional[TrainState] = None
         self._jit_train_step = None
         self._jit_eval_step = None
+        self._scan_train_fn = None
         self._writer_pool = None
         self._writer_futures: List[Any] = []
 
@@ -313,6 +319,106 @@ class Model(BaseModel):
             mesh = create_mesh(mesh_cfg)
             return shard_train_step(step, mesh)
         return jax.jit(step, donate_argnums=(0,))
+
+    def _build_scan_train_step(self, chunk: int):
+        """``chunk`` optimizer steps chained inside one jitted ``lax.scan``.
+
+        The carry is the full (donated) TrainState; xs are the stacked batch
+        tensors, dropout keys, masks, and a per-step ``valid`` flag.  Invalid
+        (tail-padding) steps where-merge the old state back so they are exact
+        no-ops — one program compiles per (batch-shape, chunk) regardless of
+        dataset length, and semantics match the host loop bit-for-bit (same
+        ``make_train_step``, same key schedule, same step order).
+
+        TPU-first rationale: the host loop pays one dispatch round-trip per
+        optimizer step; the reference's torch loop has the same shape
+        (``/root/reference/models/model.py:175-227``).  On a remote/tunneled
+        device that round-trip can exceed the step itself, and even locally
+        a device-side loop lets XLA overlap the next step's prologue —
+        chaining in ``lax.scan`` makes epoch time pure device time
+        (methodology validated in benchmarks/profile_train_scan.py).
+        """
+        remat = bool((self.config.get("train", {}) or {}).get("remat", False))
+        step = make_train_step(self.network, self.loss_pipe, remat=remat)
+
+        def chunk_fn(state: TrainState, xs):
+            def body(st, x):
+                inputs, targets, key, mask, valid = x
+                new_state, loss_dict = step(st, inputs, targets, key, mask)
+                merged = jax.tree.map(
+                    lambda n, o: jnp.where(valid, n, o), new_state, st
+                )
+                return merged, loss_dict
+
+            return jax.lax.scan(body, state, xs)
+
+        return jax.jit(chunk_fn, donate_argnums=(0,))
+
+    def _train_epoch_scan(self, epoch: int, root_key, resume_dir, iterator):
+        """One training epoch in scan-chunk mode.
+
+        Collects ``self.scan_chunk`` batches, stacks them host-side (one
+        transfer per chunk), runs the chained scan, and unstacks the per-step
+        loss dicts for logging.  The final partial chunk is padded with the
+        last batch under ``valid=0`` (state where-merges to a no-op), so the
+        scan program compiles exactly once.
+        """
+        K = self.scan_chunk
+        pend: List[Any] = []
+        batch_dicts: List[Dict[str, Any]] = []
+        n_images = 0
+
+        def flush():
+            if not pend:
+                return
+            n_real = len(pend)
+            while len(pend) < K:
+                i_l, t_l, k_l, m_l, _, idx_l = pend[-1]
+                pend.append((i_l, t_l, k_l, np.zeros_like(m_l), False, idx_l))
+            xs = (
+                jnp.stack([p[0] for p in pend]),
+                jnp.stack([p[1] for p in pend]),
+                jnp.stack([p[2] for p in pend]),
+                jnp.stack([p[3] for p in pend]),
+                jnp.asarray([p[4] for p in pend]),
+            )
+            self.state, stacked = self._scan_train_fn(self.state, xs)
+            host = jax.device_get(stacked)
+            for j in range(n_real):
+                d = {k: float(v[j]) for k, v in host.items()}
+                batch_dicts.append(d)
+                step_i = pend[j][5]
+                if (
+                    self.logging_enabled
+                    and self.logger is not None
+                    and self.train_log_every > 0
+                    and (step_i + 1) % self.train_log_every == 0
+                ):
+                    row = {"type": "batch", "epoch": epoch + 1, "step": step_i + 1}
+                    for k, v in d.items():
+                        row[f"loss_{k}"] = v
+                    self.logger.log_train(row)
+            pend.clear()
+
+        for step_i, batch in iterator:
+            inputs, targets, mask = _unpack_paired(batch)
+            if mask is None:
+                mask = np.ones((inputs.shape[0],), np.float32)
+            if self.state is None:
+                self.state = self._init_state(inputs)
+                if resume_dir:
+                    self.state = ckpt.restore_train_state(resume_dir, self.state)
+                    print(
+                        f"[CKPT] Resumed from {resume_dir} at step {int(self.state.step)}"
+                    )
+                self._scan_train_fn = self._build_scan_train_step(self.scan_chunk)
+            key = jax.random.fold_in(root_key, epoch * 100003 + step_i)
+            pend.append((inputs, targets, key, mask, True, step_i))
+            n_images += int(np.sum(np.asarray(mask)))
+            if len(pend) == K:
+                flush()
+        flush()
+        return batch_dicts, n_images
 
     def _fused_eval_forward(self, params, batch_stats):
         """Fused serving forward (Pallas DenseBlocks + BN-folded convs), or None.
@@ -394,6 +500,13 @@ class Model(BaseModel):
         root_key = jax.random.key(self.seed)
         train_fn = None
         resume_dir = (self.config.get("train", {}) or {}).get("resume")
+        scan_mode = self.scan_chunk > 1
+        if scan_mode and (self.config.get("train", {}) or {}).get("mesh"):
+            print(
+                "[ENGINE] train.scan_chunk ignored: not composed with"
+                " train.mesh (sharded steps run host-loop)"
+            )
+            scan_mode = False
 
         for epoch in range(self.epoch):
             t0 = time.time()
@@ -412,34 +525,39 @@ class Model(BaseModel):
                 desc=f"Training... Epoch: {epoch+1}/{self.epoch}",
                 total=len(self.dataloader),
             )
-            for step_i, batch in iterator:
-                inputs, targets, mask = _unpack_paired(batch)
-                if self.state is None:
-                    self.state = self._init_state(inputs)
-                    if resume_dir:
-                        self.state = ckpt.restore_train_state(resume_dir, self.state)
-                        print(f"[CKPT] Resumed from {resume_dir} at step {int(self.state.step)}")
-                    train_fn = self._build_train_step()
-
-                dropout_key = jax.random.fold_in(root_key, epoch * 100003 + step_i)
-                self.state, loss_dict = train_fn(
-                    self.state, inputs, targets, dropout_key, mask
+            if scan_mode:
+                batch_dicts, n_images = self._train_epoch_scan(
+                    epoch, root_key, resume_dir, iterator
                 )
-                batch_dicts.append(loss_dict)
-                n_images += (
-                    int(inputs.shape[0]) if mask is None else int(np.sum(np.asarray(mask)))
-                )
+            else:
+                for step_i, batch in iterator:
+                    inputs, targets, mask = _unpack_paired(batch)
+                    if self.state is None:
+                        self.state = self._init_state(inputs)
+                        if resume_dir:
+                            self.state = ckpt.restore_train_state(resume_dir, self.state)
+                            print(f"[CKPT] Resumed from {resume_dir} at step {int(self.state.step)}")
+                        train_fn = self._build_train_step()
 
-                if (
-                    self.logging_enabled
-                    and self.logger is not None
-                    and self.train_log_every > 0
-                    and (step_i + 1) % self.train_log_every == 0
-                ):
-                    row = {"type": "batch", "epoch": epoch + 1, "step": step_i + 1}
-                    for k, v in jax.device_get(loss_dict).items():
-                        row[f"loss_{k}"] = float(v)
-                    self.logger.log_train(row)
+                    dropout_key = jax.random.fold_in(root_key, epoch * 100003 + step_i)
+                    self.state, loss_dict = train_fn(
+                        self.state, inputs, targets, dropout_key, mask
+                    )
+                    batch_dicts.append(loss_dict)
+                    n_images += (
+                        int(inputs.shape[0]) if mask is None else int(np.sum(np.asarray(mask)))
+                    )
+
+                    if (
+                        self.logging_enabled
+                        and self.logger is not None
+                        and self.train_log_every > 0
+                        and (step_i + 1) % self.train_log_every == 0
+                    ):
+                        row = {"type": "batch", "epoch": epoch + 1, "step": step_i + 1}
+                        for k, v in jax.device_get(loss_dict).items():
+                            row[f"loss_{k}"] = float(v)
+                        self.logger.log_train(row)
 
             if trace_ctx is not None:
                 trace_ctx.__exit__(None, None, None)

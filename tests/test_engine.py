@@ -254,6 +254,53 @@ def test_remat_train_step_matches_plain():
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
 
 
+def test_scan_chunk_train_matches_host_loop(tmp_path):
+    """``train.scan_chunk`` chains optimizer steps inside one ``lax.scan``
+    (device-side loop) — numerics must match the host loop: same
+    ``make_train_step``, same dropout-key schedule, same step order.  Three
+    batches per epoch with chunk 2 exercises the padded tail (a ``valid=0``
+    step that where-merges the old state back — an exact no-op).
+
+    The optimizer is swapped to SGD before training: the scan body and the
+    standalone step compile to slightly different programs (float
+    reassociation ~1 ULP), and Adam's first-step update is ±lr·sign-like,
+    which amplifies that jitter to ~lr on near-zero-gradient weights.  SGD
+    keeps the comparison linear in the jitter, so equality is tight."""
+    import flax.serialization as fser
+    import optax
+
+    losses, weights = {}, {}
+    for mode, chunk in (("host", 0), ("scan", 2)):
+        sub = tmp_path / mode
+        os.makedirs(sub)
+        cfg = _tiny_config(sub, n_epoch=2)
+        cfg["train"]["dataloader"]["args"]["shuffle"] = False
+        if chunk:
+            cfg["train"]["scan_chunk"] = chunk
+        cfg_path = sub / "t.json"
+        cfg_path.write_text(json.dumps(cfg))
+        logger, engine = run_cli.build_session(load_config(str(cfg_path), phase="train"))
+        engine.tx = optax.sgd(0.1)
+        try:
+            engine.train()
+        finally:
+            logger.close()
+        with open(sub / "weights" / "tiny.pt", "rb") as f:
+            weights[mode] = fser.msgpack_restore(f.read())
+        runs = list((sub / "runs" / "tiny").iterdir())
+        rows = [
+            json.loads(l) for l in (runs[0] / "train.jsonl").read_text().splitlines()
+        ]
+        losses[mode] = [r["loss_total"] for r in rows if r["type"] == "epoch"]
+
+    assert len(losses["host"]) == 2
+    np.testing.assert_allclose(losses["scan"], losses["host"], rtol=1e-6)
+    import jax
+
+    for a, b in zip(jax.tree.leaves(weights["host"]), jax.tree.leaves(weights["scan"])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_cli_train_fused_dense_cdan(tmp_path):
     """End-to-end CLI train with ``train.fused_dense: true`` on real CDAN.
