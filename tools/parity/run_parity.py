@@ -190,6 +190,12 @@ def main() -> None:
         "--ours-tpu", action="store_true",
         help="run the ours side on the default JAX backend (TPU) instead of forcing CPU",
     )
+    ap.add_argument(
+        "--fused-dense", action="store_true",
+        help="set train.fused_dense in the generated config (ours-only knob —"
+        " the torch reference ignores unknown train keys); for fused-training"
+        " quality A/Bs",
+    )
     args = ap.parse_args()
 
     if args.fresh and os.path.isdir(args.workdir):
@@ -198,6 +204,8 @@ def main() -> None:
 
     data_root = generate_dataset(args.workdir, args.task)
     cfg = build_config(data_root, args.epochs, args.batch, args.height, args.width, args.task)
+    if args.fused_dense:
+        cfg["train"]["fused_dense"] = True
     cfg_path = os.path.join(args.workdir, f"{args.task}_parity.json")
     with open(cfg_path, "w") as f:
         json.dump(cfg, f, indent=2)
