@@ -158,12 +158,14 @@ def main() -> None:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     scan_mode = False
+    anchor_tf = None
     if on_tpu:
         # Gate on chip health: if the anchor reads degraded, wait (bounded)
         # for the shared host to recover rather than recording a number
         # that measures the neighbor's workload instead of this code.
         for attempt in range(6):
             tf = _sanity_anchor_tflops()
+            anchor_tf = tf
             print(f"[bench] sanity anchor: {tf:.1f} TF/s", file=sys.stderr)
             if tf >= 85.0:
                 break
@@ -214,16 +216,20 @@ def main() -> None:
             print(f"[bench] sweep {attempt + 1} produced nothing; retrying", file=sys.stderr)
             time.sleep(30)
 
-    print(
-        json.dumps(
-            {
-                "metric": "256px_images_per_sec_per_chip_degrade_restore",
-                "value": round(best, 1),
-                "unit": "img/s/chip",
-                "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 4),
-            }
-        )
-    )
+    out = {
+        "metric": "256px_images_per_sec_per_chip_degrade_restore",
+        "value": round(best, 1),
+        "unit": "img/s/chip",
+        "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 4),
+    }
+    if anchor_tf is not None:
+        # Self-describing chip health: the shared axon host intermittently
+        # runs the chip at a fraction of its ~107 TF/s anchor; a reading
+        # well below that marks this bench value as neighbor-degraded
+        # rather than a code regression.
+        out["chip_anchor_tflops"] = round(anchor_tf, 1)
+        out["chip_anchor_healthy_tflops"] = 107.0
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
