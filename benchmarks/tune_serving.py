@@ -36,6 +36,12 @@ COMBOS = [
     # representative of each stays in the sweep to keep tracking them.
     (False, False, 0, False),
     (False, False, 48, False),
+    # the 48→80 gap was never swept on the winning nhwc_io=False family:
+    # 56 K-stacks every final_dense layer (ci∈{3,19,35,51} — 51 ran the
+    # ~40%-utilisation roll-after form under the 48 threshold), 64 adds
+    # dense1's first (ci=64) layer — the predicted break-even boundary.
+    (False, False, 56, False),
+    (False, False, 64, False),
     (False, False, 0, True),
     (False, False, 48, True),
     (False, False, 80, True),
