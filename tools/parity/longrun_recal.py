@@ -48,7 +48,16 @@ def main() -> None:
     workdir = args.workdir
     ours_cwd = os.path.join(workdir, "ours")
     cfg_path = os.path.join(workdir, f"{args.task}_parity.json")
-    weights = os.path.join(ours_cwd, "weights", f"CDAN_{args.task}_parity.pt")
+    # the checkpoint name comes from the config (build_config keeps the
+    # reference noise recipe's "CDAN_noise_parity.pt" for every task)
+    with open(cfg_path) as f:
+        cfg = json.load(f)
+    test_cfg = cfg.get("test", {})
+    weights = os.path.join(
+        ours_cwd,
+        test_cfg.get("model_path", "weights/"),
+        test_cfg.get("model_name", f"CDAN_{args.task}_parity.pt"),
+    )
 
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
