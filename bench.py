@@ -40,8 +40,34 @@ def build_pipeline(batch: int, size: int, dtype):
         # fallback to the per-DenseBlock fused path.
         forward = build_serving_apply(variables, dtype)
 
+    use_fused_noise, fused_noise_dtype = False, jnp.float32
+    if jax.default_backend() != "cpu":
+        import os as _os
+
+        from multi_degradation_image_enhancement_tpu.ops.pallas import noise as _noise
+
+        _tpath = _os.path.join(
+            _os.path.dirname(_os.path.abspath(__file__)),
+            "multi_degradation_image_enhancement_tpu", "config", "serving_tuning.json",
+        )
+        try:
+            with open(_tpath) as _f:
+                _tcfg = json.load(_f)
+            use_fused_noise = bool(_tcfg.get("fused_noise", False))
+            if _tcfg.get("fused_noise_bf16", False):
+                fused_noise_dtype = dtype
+        except Exception:
+            use_fused_noise = False
+        use_fused_noise = use_fused_noise and _noise.supported((batch, size, size, 3))
+
     def step(clean255, key):
-        degraded = apply_degradation("noise", clean255, key) / 255.0
+        if use_fused_noise:
+            # measured-on: hardware-PRNG fused degrade (exp_noise_kernel.py)
+            degraded, _ = _noise.degrade_noise_batch_fast(
+                clean255, key, out_dtype=fused_noise_dtype
+            )
+        else:
+            degraded = apply_degradation("noise", clean255, key) / 255.0
         restored = forward(degraded)
         return restored
 
