@@ -156,25 +156,37 @@ def main() -> None:
         return
     import time as _time
 
+    # merge-preserve keys owned by other tuners (e.g. exp_noise_kernel.py's
+    # fused_noise knobs) — this sweep only owns the forward-variant keys.
+    cfg = {}
+    if os.path.isfile(OUT_PATH):
+        try:
+            with open(OUT_PATH) as f:
+                cfg = json.load(f)
+        except Exception:
+            cfg = {}
+    cfg.update(
+        {
+            "prefer_cm": best["prefer_cm"],
+            "db_bf16_act": best["bf16_act"],
+            "db_k_stack_max_ci": best["k_stack"],
+            "db_nhwc_io": best["nhwc_io"],
+        }
+    )
+    prov = cfg.get("provenance")
+    if not isinstance(prov, dict) or "results" in prov:  # legacy flat layout
+        prov = {}
+    prov["forward_variants"] = {
+        "script": "benchmarks/tune_serving.py",
+        "batch": args.batch,
+        "size": args.size,
+        "iters": args.iters,
+        "date_utc": _time.strftime("%Y-%m-%d", _time.gmtime()),
+        "results": results,
+    }
+    cfg["provenance"] = prov
     with open(OUT_PATH, "w") as f:
-        json.dump(
-            {
-                "prefer_cm": best["prefer_cm"],
-                "db_bf16_act": best["bf16_act"],
-                "db_k_stack_max_ci": best["k_stack"],
-                "db_nhwc_io": best["nhwc_io"],
-                "provenance": {
-                    "script": "benchmarks/tune_serving.py",
-                    "batch": args.batch,
-                    "size": args.size,
-                    "iters": args.iters,
-                    "date_utc": _time.strftime("%Y-%m-%d", _time.gmtime()),
-                    "results": results,
-                },
-            },
-            f,
-            indent=2,
-        )
+        json.dump(cfg, f, indent=2)
     print(f"wrote {OUT_PATH}", flush=True)
 
 
