@@ -38,9 +38,13 @@ def _load() -> Optional[ctypes.CDLL]:
         _lib_failed = True
         return None
     try:
-        if not os.path.isfile(_SO_PATH):
+        cpp = os.path.join(_NATIVE_DIR, "mdie_io.cpp")
+        stale = os.path.isfile(_SO_PATH) and os.path.isfile(cpp) and (
+            os.path.getmtime(cpp) > os.path.getmtime(_SO_PATH)
+        )
+        if not os.path.isfile(_SO_PATH) or stale:
             subprocess.run(
-                ["make", "-C", _NATIVE_DIR], check=True,
+                ["make", "-C", _NATIVE_DIR] + (["-B"] if stale else []), check=True,
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
         lib = ctypes.CDLL(_SO_PATH)
@@ -54,6 +58,16 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.POINTER(ctypes.c_uint8),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.mdie_encode_png.restype = ctypes.c_int
+        lib.mdie_encode_png.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.mdie_encode_png_batch.restype = ctypes.c_int
+        lib.mdie_encode_png_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         _lib = lib
     except Exception:
@@ -99,3 +113,43 @@ def decode_batch(
         target_h, target_w, mode, n_threads,
     )
     return out
+
+
+def encode_png(path: str, img_u8: np.ndarray, compress_level: int = 1) -> bool:
+    """Write one RGB uint8 [H, W, 3] array as PNG via libpng; False if the
+    native library is unavailable or the write failed (callers fall back to
+    PIL)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mdie_encode_png"):
+        return False
+    img_u8 = np.ascontiguousarray(img_u8, dtype=np.uint8)
+    h, w, c = img_u8.shape
+    if c != 3:
+        return False
+    rc = lib.mdie_encode_png(
+        path.encode(), img_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, compress_level,
+    )
+    return rc == 0
+
+
+def encode_png_batch(
+    paths: List[str], imgs_u8: np.ndarray, compress_level: int = 1, n_threads: int = 4
+) -> Optional[int]:
+    """Write a [N, H, W, 3] uint8 batch to per-image PNG paths with the
+    engine's thread fan-out.  Returns the failure count, or None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mdie_encode_png_batch"):
+        return None
+    imgs_u8 = np.ascontiguousarray(imgs_u8, dtype=np.uint8)
+    n, h, w, c = imgs_u8.shape
+    if c != 3 or n != len(paths):
+        return None
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    return int(
+        lib.mdie_encode_png_batch(
+            arr, imgs_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, h, w, compress_level, n_threads,
+        )
+    )

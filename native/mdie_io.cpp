@@ -233,6 +233,41 @@ int decode_one(const char* path, uint8_t* out, int th, int tw, int mode) {
   return 0;
 }
 
+// PNG write of one RGB8 buffer.  compress_level: zlib 0..9 (PIL default 6;
+// restoration outputs are near-noise so level 1 trades ~10% size for
+// several-fold faster deflate — the serving writer's default).
+int encode_png_one(const char* path, const uint8_t* rgb, int h, int w,
+                   int compress_level) {
+  FILE* fp = fopen(path, "wb");
+  if (!fp) return -1;
+  png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                            nullptr, nullptr);
+  if (!png) { fclose(fp); return -3; }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_write_struct(&png, nullptr);
+    fclose(fp);
+    return -3;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_write_struct(&png, &info);
+    fclose(fp);
+    return -4;
+  }
+  png_init_io(png, fp);
+  if (compress_level >= 0 && compress_level <= 9)
+    png_set_compression_level(png, compress_level);
+  png_set_IHDR(png, info, w, h, 8, PNG_COLOR_TYPE_RGB, PNG_INTERLACE_NONE,
+               PNG_COMPRESSION_TYPE_DEFAULT, PNG_FILTER_TYPE_DEFAULT);
+  png_write_info(png, info);
+  for (int y = 0; y < h; ++y)
+    png_write_row(png, const_cast<png_bytep>(rgb + size_t(y) * w * 3));
+  png_write_end(png, info);
+  png_destroy_write_struct(&png, &info);
+  fclose(fp);
+  return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -255,6 +290,39 @@ int mdie_decode_batch(const char** paths, int n, uint8_t* out, int target_h,
         memset(out + stride * i, 0, stride);
         fails[tid]++;
       }
+    }
+  };
+  if (n_threads <= 1 || n <= 1) {
+    work(0, 0, n);
+  } else {
+    int t = std::min(n_threads, n);
+    std::vector<std::thread> threads;
+    int per = (n + t - 1) / t;
+    for (int k = 0; k < t; ++k)
+      threads.emplace_back(work, k, k * per, std::min(n, (k + 1) * per));
+    for (auto& th : threads) th.join();
+  }
+  int total = 0;
+  for (int f : fails) total += f;
+  return total;
+}
+
+// Encode one RGB8 [h, w, 3] buffer to a PNG file.  0 on success.
+int mdie_encode_png(const char* path, const uint8_t* rgb, int h, int w,
+                    int compress_level) {
+  return encode_png_one(path, rgb, h, w, compress_level);
+}
+
+// Encode n images from a contiguous [n, h, w, 3] buffer to per-image paths
+// with a thread fan-out.  Returns the number of failures (0 = all good).
+int mdie_encode_png_batch(const char** paths, const uint8_t* rgb, int n,
+                          int h, int w, int compress_level, int n_threads) {
+  const size_t stride = size_t(h) * w * 3;
+  std::vector<int> fails(std::max(1, n_threads), 0);
+  auto work = [&](int tid, int begin, int end) {
+    for (int i = begin; i < end; ++i) {
+      if (encode_png_one(paths[i], rgb + stride * i, h, w, compress_level) != 0)
+        fails[tid]++;
     }
   };
   if (n_threads <= 1 || n <= 1) {

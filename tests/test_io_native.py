@@ -59,3 +59,33 @@ def test_batch_decode_and_failures(images):
     assert batch.shape == (5, 40, 56, 3)
     np.testing.assert_array_equal(batch[0], arrays[0])
     assert not batch[4].any()  # failed slot zero-filled
+
+
+def test_encode_png_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    p = str(tmp_path / "enc.png")
+    assert io_native.encode_png(p, img, compress_level=6)
+    back = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(back, img)  # lossless at any level
+    # level 1 (the serving writer default) is equally lossless
+    p1 = str(tmp_path / "enc1.png")
+    assert io_native.encode_png(p1, img, compress_level=1)
+    np.testing.assert_array_equal(np.asarray(Image.open(p1).convert("RGB")), img)
+
+
+def test_encode_png_batch(tmp_path):
+    rng = np.random.default_rng(4)
+    batch = rng.integers(0, 256, size=(5, 24, 32, 3), dtype=np.uint8)
+    paths = [str(tmp_path / f"b{i}.png") for i in range(5)]
+    fails = io_native.encode_png_batch(paths, batch, compress_level=1, n_threads=3)
+    assert fails == 0
+    for i, p in enumerate(paths):
+        np.testing.assert_array_equal(np.asarray(Image.open(p).convert("RGB")), batch[i])
+    # unwritable path counts as a failure, others still land
+    bad = ["/nonexistent_dir/x.png"] + paths[1:]
+    assert io_native.encode_png_batch(bad, batch, n_threads=2) == 1
+
+
+def test_encode_png_rejects_bad_shapes(tmp_path):
+    assert not io_native.encode_png(str(tmp_path / "x.png"), np.zeros((4, 4, 4), np.uint8))
