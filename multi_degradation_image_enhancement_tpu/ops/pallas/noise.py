@@ -73,11 +73,12 @@ def _bits_to_noise01(
 
 
 def _noise_kernel(seed_ref, std_ref, x_ref, o_ref, *, scale: float, out_dtype):
-    pltpu.prng_seed(seed_ref[0], pl.program_id(0))
+    i = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], i)
     h, l = x_ref.shape[1], x_ref.shape[2]
     bits1 = pltpu.bitcast(pltpu.prng_random_bits((h // 2, l)), jnp.uint32)
     bits2 = pltpu.bitcast(pltpu.prng_random_bits((h // 2, l)), jnp.uint32)
-    out = _bits_to_noise01(bits1, bits2, x_ref[0], std_ref[0, 0], scale)
+    out = _bits_to_noise01(bits1, bits2, x_ref[0], std_ref[i], scale)
     o_ref[0] = out.astype(out_dtype)
 
 
@@ -126,12 +127,12 @@ def noise_degrade_01(
         grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # seed (1,)
-            pl.BlockSpec((1, 1), lambda i: (i, 0)),  # std (B,1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # std (B,)
             pl.BlockSpec((1, h, line), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, h, line), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, line), out_dtype),
-    )(seed.reshape(1), std.reshape(b, 1).astype(jnp.float32), x)
+    )(seed.reshape(1), std.reshape(b).astype(jnp.float32), x)
     return out.reshape(b, h, w, c)
 
 
