@@ -43,11 +43,16 @@ def main() -> None:
     ap.add_argument("--task", required=True)
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--suffix", default="",
+                    help="seed-variant suffix (e.g. _seed1337): reads "
+                         "<task>_parity<suffix>.json / ours<suffix>/, takes "
+                         "the latest existing run as stock, and writes "
+                         "recal_ab<suffix>.json")
     args = ap.parse_args()
 
     workdir = args.workdir
-    ours_cwd = os.path.join(workdir, "ours")
-    cfg_path = os.path.join(workdir, f"{args.task}_parity.json")
+    ours_cwd = os.path.join(workdir, f"ours{args.suffix}")
+    cfg_path = os.path.join(workdir, f"{args.task}_parity{args.suffix}.json")
     # the checkpoint name comes from the config (build_config keeps the
     # reference noise recipe's "CDAN_noise_parity.pt" for every task)
     with open(cfg_path) as f:
@@ -67,8 +72,12 @@ def main() -> None:
         )
         env["JAX_PLATFORMS"] = "cpu"
 
-    with open(os.path.join(workdir, "ours_run.json")) as f:
-        stock_run = json.load(f)["run_dir"]
+    if args.suffix:
+        runs = os.path.join(ours_cwd, "runs", f"{args.task}_parity")
+        stock_run = os.path.join(runs, sorted(os.listdir(runs))[-1])
+    else:
+        with open(os.path.join(workdir, "ours_run.json")) as f:
+            stock_run = json.load(f)["run_dir"]
     stock = extract_metrics(stock_run)
 
     stock_copy = weights + ".stock"
@@ -85,14 +94,14 @@ def main() -> None:
         shutil.copyfile(stock_copy, weights)
 
     ab = {
-        "task": args.task,
+        "task": args.task + args.suffix,
         "stock": stock,
         "bn_recal": recal,
         "recal_delta_psnr_db": recal["psnr"] - stock["psnr"],
         "recal_delta_ssim": recal["ssim"] - stock["ssim"],
         "passes": args.passes,
     }
-    with open(os.path.join(workdir, "recal_ab.json"), "w") as f:
+    with open(os.path.join(workdir, f"recal_ab{args.suffix}.json"), "w") as f:
         json.dump(ab, f, indent=2)
     print(f"[longrun_recal] {args.task}: stock {stock['psnr']:.3f} dB, "
           f"recal {recal['psnr']:.3f} dB (Δ {ab['recal_delta_psnr_db']:+.3f})",
