@@ -96,7 +96,8 @@ class RoutedRestorer:
         # experts replicate expert 0 and are never routed to — the dispatch
         # one-hot has only n_real columns, padded with zeros below.
         self.n_pad = 0
-        if mesh is not None and EXPERT_AXIS in mesh.axis_names:
+        self._expert_parallel = mesh is not None and EXPERT_AXIS in mesh.axis_names
+        if self._expert_parallel:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             axis = mesh.shape[EXPERT_AXIS]
@@ -121,7 +122,34 @@ class RoutedRestorer:
     def _build(self) -> Callable:
         n_experts = len(self.expert_names)
         n_pad = self.n_pad
-        apply_bank = jax.vmap(self._apply_one)
+
+        # Bank application strategy.  ``vmap`` over the expert axis is what
+        # expert-parallel meshes need (the E dim shards, experts run
+        # concurrently across devices) — but on a single chip XLA lays the
+        # vmapped forward's 5-D [E,cap,H,W,C] temporaries out with the small
+        # channel dim minor and tile-pads it to the 128-lane register: the
+        # decoder's C∈{3,16,67} skip tensors ballooned 42×/8×/1.9× to
+        # 6×3.38 GB and the B=32·256×384·E9 step was a compile-time HBM OOM
+        # (measured 2026-08-20; the round-4 flat-dispatch fix moved the same
+        # pathology from the dispatch einsum into the expert forward).
+        # ``lax.map`` keeps every expert's activations 4-D [cap,H,W,C] —
+        # exactly the layouts the plain forward already compiles well — at
+        # the cost of serializing experts, which a single chip does anyway.
+        # Transport in/out of the bank stays [E,cap,H·W·3]-flat so the 5-D
+        # form never exists in HBM.
+        def apply_bank_flat(stacked_vars, x_flat, cap, h, w, c):
+            """[E, cap, H·W·3] → [E, cap, H·W·3] through the per-expert nets."""
+            if self._expert_parallel:
+                def one(v, xf):
+                    y = self._apply_one(v, xf.reshape(cap, h, w, c))
+                    return y.reshape(cap, -1)
+                return jax.vmap(one)(stacked_vars, x_flat)
+
+            def one(slices):
+                v, xf = slices
+                y = self._apply_one(v, xf.reshape(cap, h, w, c))
+                return y.reshape(cap, -1)
+            return jax.lax.map(one, (stacked_vars, x_flat))
 
         if self.mode == "top1":
 
@@ -150,11 +178,12 @@ class RoutedRestorer:
                 x_disp = jnp.einsum(
                     "bec,bl->ecl", dispatch, x_flat,
                     preferred_element_type=jnp.float32,
-                ).reshape(n_experts + n_pad, capacity, h_sh, w_sh, c_sh)
-                y_disp = apply_bank(self.variables, x_disp)  # [E, C, H, W, 3]
+                )  # [E, cap, H·W·3] — stays flat end to end
+                y_disp = apply_bank_flat(
+                    self.variables, x_disp, capacity, h_sh, w_sh, c_sh
+                )  # [E, cap, H·W·3]
                 routed = jnp.einsum(
-                    "bec,ecl->bl", dispatch,
-                    y_disp.reshape(n_experts + n_pad, capacity, -1),
+                    "bec,ecl->bl", dispatch, y_disp,
                     preferred_element_type=jnp.float32,
                 ).reshape(b_sh, h_sh, w_sh, c_sh)
                 routed_mask = jnp.sum(dispatch, axis=(1, 2)) > 0  # dropped/clean → identity
