@@ -9,18 +9,116 @@ BASELINE.md).
 
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "img/s/chip", "vs_baseline": N/5000}
+
+Deadline-proof by construction (round-3 postmortem: rc=124, parsed null —
+the health gate burned the whole driver budget):
+  * best-so-far result is emitted from an ``atexit`` hook AND from
+    SIGTERM/SIGINT/SIGHUP handlers, so an external ``timeout`` kill still
+    yields a parseable JSON line (annotated, possibly value 0.0);
+  * exactly ONE bounded health probe (~<=90 s incl. one optional wait),
+    then measurement proceeds REGARDLESS of chip health — degraded
+    readings are annotated, never withheld;
+  * a hard wall-clock budget (env BENCH_BUDGET_S, default 480 s) is
+    checked between phases and batch candidates, and a SIGALRM fires
+    30 s before it to abandon whatever is in flight and emit;
+  * a persistent XLA compilation cache (/root/scratch/jaxcache) makes
+    repeat runs skip the ~20-40 s compiles entirely.
 """
 
 from __future__ import annotations
 
+import atexit
 import json
+import os
+import signal
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 BASELINE_IMG_PER_SEC = 5000.0
+
+_T0 = time.monotonic()
+_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+_DEADLINE = _T0 + _BUDGET_S
+
+# ---------------------------------------------------------------- emit-on-exit
+_RESULT = {
+    "metric": "256px_images_per_sec_per_chip_degrade_restore",
+    "value": 0.0,
+    "unit": "img/s/chip",
+    "vs_baseline": 0.0,
+    "note": "no measurement completed",
+}
+_EMITTED = False
+
+
+def _emit() -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    try:
+        sys.stdout.write(json.dumps(_RESULT) + "\n")
+        sys.stdout.flush()
+    except Exception:
+        pass
+
+
+def _record(rate: float, **annotations) -> None:
+    """Update the best-so-far result the exit hooks will print."""
+    if rate > _RESULT["value"]:
+        _RESULT["value"] = round(rate, 1)
+        _RESULT["vs_baseline"] = round(rate / BASELINE_IMG_PER_SEC, 4)
+        _RESULT.pop("note", None)
+    _RESULT.update(annotations)
+
+
+def _sig_handler(signum, frame):  # noqa: ANN001
+    print(f"[bench] signal {signum} -> emitting best-so-far", file=sys.stderr)
+    _emit()
+    os._exit(0)
+
+
+class _BudgetExpired(Exception):
+    pass
+
+
+def _alarm_handler(signum, frame):  # noqa: ANN001
+    raise _BudgetExpired()
+
+
+atexit.register(_emit)
+for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
+    try:
+        signal.signal(_sig, _sig_handler)
+    except (ValueError, OSError):
+        pass
+signal.signal(signal.SIGALRM, _alarm_handler)
+# Abandon in-flight work 30 s before the external budget so the normal
+# emit path still runs even if a compile/readback hangs.
+signal.alarm(max(int(_BUDGET_S) - 30, 60))
+
+
+def _time_left() -> float:
+    return _DEADLINE - time.monotonic()
+
+
+# Persistent compilation cache: repeat runs (driver re-invocations, retries)
+# skip the 20-40 s XLA compiles entirely.  /root/scratch survives VM resets.
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/scratch/jaxcache")
+try:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+except OSError:
+    _CACHE_DIR = None
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+if _CACHE_DIR:
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def build_pipeline(batch: int, size: int, dtype):
@@ -42,12 +140,10 @@ def build_pipeline(batch: int, size: int, dtype):
 
     use_fused_noise, fused_noise_dtype = False, jnp.float32
     if jax.default_backend() != "cpu":
-        import os as _os
-
         from multi_degradation_image_enhancement_tpu.ops.pallas import noise as _noise
 
-        _tpath = _os.path.join(
-            _os.path.dirname(_os.path.abspath(__file__)),
+        _tpath = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
             "multi_degradation_image_enhancement_tpu", "config", "serving_tuning.json",
         )
         try:
@@ -141,27 +237,24 @@ def time_pipeline(batch: int, size: int, dtype, iters: int = 20,
     return batch * iters / dt
 
 
-def _sanity_anchor_tflops() -> float:
-    """Chained 4096³ bf16 matmul (forced execution) — the chip-health
-    anchor.  Historical healthy reading on this v5e ≈ 107 TF/s; readings
-    of ~50 TF/s (observed 2026-08-19 ~00:00Z) mean the shared axon host /
-    tunnel is degraded and every wall-clock on it is inflated ~2-3×."""
-    a = jnp.ones((4096, 4096), jnp.bfloat16)
-    f = jax.jit(lambda x, y: x @ y)
-    acc = jnp.mean(f(a, a)).astype(jnp.float32)
-    float(acc)  # warm
-    t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.float32)
-    for _ in range(10):
-        acc = acc + jnp.mean(f(a, a)).astype(jnp.float32)
-    float(acc)
-    dt = (time.perf_counter() - t0) / 10
-    return 2 * 4096**3 / dt / 1e12
+def _dispatch_rtt_ms() -> float:
+    """Per-call dispatch round-trip of the (possibly tunneled) backend:
+    time a trivial jitted readback.  Healthy ≈1.7 ms; degraded ≈120 ms."""
+    f = jax.jit(lambda x: x + 1.0)
+    x = jnp.zeros(())
+    float(f(x))  # compile
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(f(x))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
 
 
 def _compute_anchor_tflops() -> float:
     """Device-side chained matmuls (one dispatch): isolates chip compute
-    from tunnel dispatch RTT — the two degrade independently on this host."""
+    from tunnel dispatch RTT — the two degrade independently on this host.
+    Historical healthy reading on this v5e ≈107 TF/s."""
     a = jnp.ones((4096, 4096), jnp.bfloat16)
 
     @jax.jit
@@ -184,35 +277,42 @@ def main() -> None:
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
     scan_mode = False
-    anchor_tf = None
     if on_tpu:
-        # Gate on chip health: if the anchor reads degraded, wait (bounded)
-        # for the shared host to recover rather than recording a number
-        # that measures the neighbor's workload instead of this code.
-        for attempt in range(6):
-            tf = _sanity_anchor_tflops()
-            anchor_tf = tf
-            print(f"[bench] sanity anchor: {tf:.1f} TF/s", file=sys.stderr)
-            if tf >= 85.0:
-                break
-            if attempt < 5:
-                print("[bench] chip degraded (healthy ≈107); waiting 120 s",
-                      file=sys.stderr)
-                time.sleep(120)
-        else:
-            # Anchor never recovered.  Two distinct failure axes (2026-08-19
-            # diagnosis): per-call dispatch RTT (~120 ms degraded vs 1.7 ms)
-            # and device compute (neighbor load).  If device-side compute is
-            # healthy, measure with the scan-chained method (per-step slope
-            # between two scan lengths — dispatch cancels exactly) instead of
-            # recording a tunnel-latency artifact as the headline.
+        # ONE bounded health probe — never a gate.  Both axes measured
+        # (dispatch RTT and device compute); if compute reads degraded and
+        # there is budget to spare, wait ONCE (60 s) and re-probe, then
+        # measure regardless and annotate.
+        try:
+            rtt = _dispatch_rtt_ms()
             ctf = _compute_anchor_tflops()
-            print(f"[bench] device-side compute anchor: {ctf:.1f} TF/s",
-                  file=sys.stderr)
-            if ctf >= 85.0:
-                scan_mode = True
-                print("[bench] dispatch degraded but compute healthy -> "
-                      "scan-chained timing", file=sys.stderr)
+            print(f"[bench] dispatch rtt: {rtt:.1f} ms; compute anchor: "
+                  f"{ctf:.1f} TF/s (healthy ≈1.7 ms / ≈107 TF/s)", file=sys.stderr)
+            if ctf < 85.0 and _time_left() > 300:
+                print("[bench] compute degraded; one 60 s wait", file=sys.stderr)
+                time.sleep(60)
+                ctf = _compute_anchor_tflops()
+                rtt = _dispatch_rtt_ms()
+                print(f"[bench] re-probe: rtt {rtt:.1f} ms, compute "
+                      f"{ctf:.1f} TF/s", file=sys.stderr)
+            # Degraded dispatch RTT poisons host-loop timing regardless of
+            # chip compute health -> scan-chained timing (dispatch cancels
+            # in the two-length slope).  Round-3 lesson: arm it whenever
+            # dispatch is bad, not only when compute is healthy.
+            scan_mode = rtt > 10.0
+            _record(0.0, chip_anchor_tflops=round(ctf, 1),
+                    chip_anchor_healthy_tflops=107.0,
+                    dispatch_rtt_ms=round(rtt, 2),
+                    timing_method="scan_chain" if scan_mode else "host_loop")
+            if ctf < 85.0:
+                _RESULT["note"] = (
+                    "chip compute anchor degraded (neighbor load on shared "
+                    "axon host); value is a lower bound for healthy silicon")
+        except _BudgetExpired:
+            print("[bench] budget expired during health probe", file=sys.stderr)
+            _emit()
+            return
+        except Exception as e:
+            print(f"[bench] health probe failed: {e}", file=sys.stderr)
 
     if on_tpu:
         candidates = [128, 256]
@@ -222,40 +322,37 @@ def main() -> None:
         iters = 2
         size = 64
 
-    best = 0.0
     # The axon-tunneled backend's remote compiles occasionally 500/hang
-    # transiently; a failed attempt is retried (fresh sweep) before the
-    # bench concedes a 0 — but OOM-style failures still just fall through
-    # to the next batch size within a sweep.
-    for attempt in range(3 if on_tpu else 1):
-        for batch in candidates:
-            try:
-                rate = time_pipeline(batch, size, dtype, iters, scan_mode=scan_mode)
-            except Exception as e:  # OOM etc. — try the next batch size
-                print(f"[bench] batch={batch} failed: {e}", file=sys.stderr)
-                continue
-            print(f"[bench] batch={batch}: {rate:.1f} img/s", file=sys.stderr)
-            best = max(best, rate)
-        if best > 0.0:
-            break
-        if attempt < 2 and on_tpu:
-            print(f"[bench] sweep {attempt + 1} produced nothing; retrying", file=sys.stderr)
-            time.sleep(30)
+    # transiently; a failed attempt is retried (fresh sweep) while budget
+    # remains.  Every successful candidate immediately updates the
+    # emit-on-exit result, so a later kill can't lose an earlier number.
+    try:
+        for attempt in range(3 if on_tpu else 1):
+            for batch in candidates:
+                if on_tpu and _time_left() < 60:
+                    print("[bench] budget low; stopping sweep", file=sys.stderr)
+                    break
+                try:
+                    rate = time_pipeline(batch, size, dtype, iters, scan_mode=scan_mode)
+                except _BudgetExpired:
+                    raise
+                except Exception as e:  # OOM etc. — try the next batch size
+                    print(f"[bench] batch={batch} failed: {e}", file=sys.stderr)
+                    continue
+                print(f"[bench] batch={batch}: {rate:.1f} img/s", file=sys.stderr)
+                _record(rate)
+            if _RESULT["value"] > 0.0 or not on_tpu:
+                break
+            if attempt < 2 and on_tpu and _time_left() > 120:
+                print(f"[bench] sweep {attempt + 1} produced nothing; retrying",
+                      file=sys.stderr)
+                time.sleep(min(30, max(_time_left() - 90, 0)))
+    except _BudgetExpired:
+        print("[bench] budget expired mid-measurement; emitting best-so-far",
+              file=sys.stderr)
 
-    out = {
-        "metric": "256px_images_per_sec_per_chip_degrade_restore",
-        "value": round(best, 1),
-        "unit": "img/s/chip",
-        "vs_baseline": round(best / BASELINE_IMG_PER_SEC, 4),
-    }
-    if anchor_tf is not None:
-        # Self-describing chip health: the shared axon host intermittently
-        # runs the chip at a fraction of its ~107 TF/s anchor; a reading
-        # well below that marks this bench value as neighbor-degraded
-        # rather than a code regression.
-        out["chip_anchor_tflops"] = round(anchor_tf, 1)
-        out["chip_anchor_healthy_tflops"] = 107.0
-    print(json.dumps(out))
+    signal.alarm(0)
+    _emit()
 
 
 if __name__ == "__main__":
