@@ -11,9 +11,11 @@ a 9-expert routed model:
     training engine;
   * **top1 mode**: each image routes to its argmax-probability degradation
     via capacity-C one-hot dispatch/combine einsums (the classic MoE
-    dispatch pattern), and the expert bank runs as a single ``vmap`` over
-    the expert axis — every expert processes its bucket in one fused
-    program, no host round trips;
+    dispatch pattern).  On an expert-parallel mesh the bank runs as a
+    single ``vmap`` over the expert axis — one fused program, no host
+    round trips; on a single chip the experts run via ``lax.map`` over a
+    flat [E, cap, H·W·3] transport instead (the vmapped 5-D temporaries
+    lane-pad 42×, OOMing HBM — rationale in ``RoutedRestorer._build``);
   * **sequential mode**: experts whose probability clears the per-class
     threshold run in severity order over the full batch with masked
     updates — higher fidelity for multi-degradation images at E× compute;
@@ -247,7 +249,7 @@ class FullPipeline:
             return jax.nn.sigmoid(cls_logits)[:, jnp.asarray(perm)]
 
         self._classify = classify
-        self._thr = self.thresholds[jnp.asarray(perm)] if classes else self.thresholds
+        self._thr = self.thresholds[jnp.asarray(perm)]
 
     def __call__(self, images01: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Returns (restored images, per-degradation probabilities)."""
