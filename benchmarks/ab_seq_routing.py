@@ -1,0 +1,193 @@
+#!/usr/bin/env python
+"""Sequential vs top-1 routing: quality A/B on multi-degradation inputs.
+
+The routed pipeline has two modes (``pipeline.RoutedRestorer``): *top1*
+(each image visits its argmax expert only — 172 img/s measured at
+B=64·256×384·9 experts) and *sequential* (every expert above threshold
+applies in bank order — E× compute, 47 img/s at B=32).  The open question
+(VERDICT r3 weak #6) is whether sequential's extra compute buys measurable
+PSNR on images carrying MULTIPLE degradations — the composition the
+reference's classifier dataset generator models
+(/root/reference/datasets_generation/generate_classifier_dataset.py:344-370,
+count 1/2/3 w.p. 0.6/0.3/0.1).
+
+Protocol: train one expert per task on the on-device synthetic recipe
+(reduced scale), compose doubly-degraded test images (a then b), feed both
+modes ORACLE probabilities (present classes 0.9/0.8 — isolates routing-mode
+quality from classifier quality), and compare restored PSNR vs clean
+against the degraded-input floor.  Singles are the control (modes should
+tie).  Results → tools/parity/results_r3/seq_routing_ab.json.
+
+Usage:
+  python benchmarks/ab_seq_routing.py [--tasks noise,blur,low_light]
+      [--epochs 30] [--hw 128 192] [--n-test 48]
+      [--workdir /root/scratch/ab_seq]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import itertools
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _load_cfg(task: str) -> dict:
+    from multi_degradation_image_enhancement_tpu.utils.config import load_config
+
+    return load_config(
+        os.path.join(
+            REPO, "multi_degradation_image_enhancement_tpu", "config",
+            f"{task}_synthetic.json",
+        )
+    )
+
+
+def _train_expert(task: str, workdir: str, epochs: int, h: int, w: int) -> str:
+    """Train one expert on the synthetic recipe at reduced scale; return
+    the engine weight path (skips training if it already exists)."""
+    wpath = os.path.join(workdir, "weights", f"CDAN_{task}_ab.pt")
+    if os.path.isfile(wpath):
+        print(f"[ab_seq] {task}: weights exist, skipping train", flush=True)
+        return wpath
+    cfg = json.loads(json.dumps(_load_cfg(task)))  # NoneDict -> plain dict
+    cfg["train"]["n_epoch"] = epochs
+    cfg["train"]["model_path"] = os.path.join(workdir, "weights")
+    cfg["train"]["model_name"] = f"CDAN_{task}_ab.pt"
+    cfg["test"]["model_path"] = cfg["train"]["model_path"]
+    cfg["test"]["model_name"] = cfg["train"]["model_name"]
+    cfg["save_outputs"]["enabled"] = False
+    cfg["logging"]["root_dir"] = os.path.join(workdir, "runs")
+    cfg["metrics"]["items"] = [{"name": "psnr"}, {"name": "ssim"}]
+    for phase in ("train", "test"):
+        for op in cfg[phase]["dataset"]["args"]["transform"]["ops"]:
+            if op.get("name") == "Resize":
+                op["args"]["height"], op["args"]["width"] = h, w
+    cpath = os.path.join(workdir, f"{task}_ab.json")
+    with open(cpath, "w") as f:
+        json.dump(cfg, f, indent=1)
+    print(f"[ab_seq] {task}: training {epochs}ep {h}x{w} ...", flush=True)
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "run.py"), "-c", cpath, "-p", "train"],
+        cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    if res.returncode != 0 or not os.path.isfile(wpath):
+        sys.stderr.write(res.stdout[-2000:] + res.stderr[-4000:])
+        raise RuntimeError(f"training {task} failed (rc={res.returncode})")
+    return wpath
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tasks", default="noise,blur,low_light")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--hw", type=int, nargs=2, default=[128, 192])
+    ap.add_argument("--n-test", type=int, default=48)
+    ap.add_argument("--workdir", default="/root/scratch/ab_seq")
+    ap.add_argument("--out", default=os.path.join(
+        REPO, "tools", "parity", "results_r3", "seq_routing_ab.json"))
+    args = ap.parse_args()
+
+    tasks = [t for t in args.tasks.split(",") if t]
+    h, w = args.hw
+    os.makedirs(args.workdir, exist_ok=True)
+
+    weight_paths = {
+        t: _train_expert(t, args.workdir, args.epochs, h, w) for t in tasks
+    }
+
+    from multi_degradation_image_enhancement_tpu.data.synthetic import _procedural_clean
+    from multi_degradation_image_enhancement_tpu.models.cdan import CDAN
+    from multi_degradation_image_enhancement_tpu.ops.degradations import (
+        apply_degradation,
+    )
+    from multi_degradation_image_enhancement_tpu.ops.ssim import psnr as psnr_fn
+    from multi_degradation_image_enhancement_tpu.pipeline import (
+        RoutedRestorer,
+        load_expert_bank,
+    )
+
+    dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    network = CDAN(dtype=dtype)
+    names, bank = load_expert_bank(network, weight_paths, input_hw=(h, w))
+    routers = {
+        mode: RoutedRestorer(network, names, bank, mode=mode)
+        for mode in ("top1", "sequential")
+    }
+    thresholds = [0.5] * len(names)
+
+    clean255 = jnp.asarray(
+        _procedural_clean(args.n_test, h, w, seed=777), jnp.float32)
+    clean01 = clean255 / 255.0
+
+    def mean_psnr(x):
+        return float(psnr_fn(
+            jnp.clip(x, 0.0, 1.0).astype(jnp.float32), clean01, data_range=1.0))
+
+    cases = (
+        [(t,) for t in tasks]  # singles: control — modes should tie
+        + list(itertools.permutations(tasks, 2))  # ordered pairs: a then b
+    )
+    rows = []
+    for case in cases:
+        case_id = int(hashlib.md5("+".join(case).encode()).hexdigest()[:8], 16)
+        key = jax.random.key(case_id)
+        img255 = clean255
+        for i, t in enumerate(case):
+            img255 = apply_degradation(t, img255, jax.random.fold_in(key, i))
+        degraded01 = jnp.clip(img255 / 255.0, 0.0, 1.0)
+        probs = np.zeros((args.n_test, len(names)), np.float32)
+        for i, t in enumerate(case):
+            probs[:, names.index(t)] = 0.9 - 0.1 * i
+        probs = jnp.asarray(probs)
+        row = {
+            "case": "+".join(case),
+            "degraded_psnr": mean_psnr(degraded01),
+        }
+        for mode, router in routers.items():
+            out = router(degraded01, probs, thresholds)
+            row[f"{mode}_psnr"] = mean_psnr(out)
+        row["seq_minus_top1_db"] = row["sequential_psnr"] - row["top1_psnr"]
+        rows.append(row)
+        print(
+            f"[ab_seq] {row['case']:<22} degraded {row['degraded_psnr']:6.2f}  "
+            f"top1 {row['top1_psnr']:6.2f}  seq {row['sequential_psnr']:6.2f}  "
+            f"Δ(seq−top1) {row['seq_minus_top1_db']:+.2f} dB", flush=True)
+
+    singles = [r for r in rows if "+" not in r["case"]]
+    pairs = [r for r in rows if "+" in r["case"]]
+    summary = {
+        "protocol": {
+            "tasks": tasks, "epochs": args.epochs, "hw": [h, w],
+            "n_test": args.n_test, "oracle_probs": [0.9, 0.8],
+            "thresholds": 0.5, "backend": jax.default_backend(),
+        },
+        "rows": rows,
+        "singles_mean_delta_db": float(np.mean(
+            [r["seq_minus_top1_db"] for r in singles])) if singles else None,
+        "pairs_mean_delta_db": float(np.mean(
+            [r["seq_minus_top1_db"] for r in pairs])) if pairs else None,
+        "throughput_ref": {
+            "top1_img_s": 172, "sequential_img_s": 47,
+            "note": "B=64/B=32 at 256x384, 9 experts, 2026-08-20 stage-P run",
+        },
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(f"[ab_seq] pairs mean Δ(seq−top1): {summary['pairs_mean_delta_db']:+.3f} dB; "
+          f"singles control: {summary['singles_mean_delta_db']:+.3f} dB -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -209,13 +209,45 @@ class Model(BaseModel):
             network = network.clone(fused_dense=True)
         self.network = network
 
+        # ---- optimizer: Adam at train.lr, optionally under a decay schedule.
+        # The reference trains at a constant lr for the whole recipe
+        # (/root/reference/models/model.py:30, config n_epoch=80 lr=1e-3);
+        # ``train.lr_schedule`` is a framework extension (off by default —
+        # every shipped config matches the reference's constant-lr recipe).
+        # Accepted: "cosine" | {"name": "cosine", "args": {"alpha": 0.01,
+        # "decay_steps": N}} — decay_steps defaults to the full run length.
+        lr_or_schedule = self.lr
+        sched_cfg = (cfg.get("train", {}) or {}).get("lr_schedule")
+        if sched_cfg:
+            name = sched_cfg if isinstance(sched_cfg, str) else sched_cfg.get("name")
+            args = {} if isinstance(sched_cfg, str) else dict(sched_cfg.get("args") or {})
+            try:
+                total_steps = self.epoch * max(len(self.dataloader), 1)
+            except TypeError:  # unsized loader: fall back to epoch count
+                total_steps = self.epoch
+            decay_steps = int(args.get("decay_steps", total_steps))
+            if name == "cosine":
+                lr_or_schedule = optax.cosine_decay_schedule(
+                    init_value=self.lr,
+                    decay_steps=decay_steps,
+                    alpha=float(args.get("alpha", 0.01)),
+                )
+            elif name == "linear":
+                lr_or_schedule = optax.linear_schedule(
+                    init_value=self.lr,
+                    end_value=float(args.get("end_value", self.lr * 0.01)),
+                    transition_steps=decay_steps,
+                )
+            else:
+                raise ValueError(f"unknown train.lr_schedule: {name!r}")
+
         grad_clip = (cfg.get("train", {}) or {}).get("grad_clip")
         if grad_clip:
             self.tx = optax.chain(
-                optax.clip_by_global_norm(float(grad_clip)), optax.adam(self.lr)
+                optax.clip_by_global_norm(float(grad_clip)), optax.adam(lr_or_schedule)
             )
         else:
-            self.tx = optax.adam(self.lr)
+            self.tx = optax.adam(lr_or_schedule)
 
         # ---- pipelines from config ----
         self.loss_cfg = cfg.get("loss", {}) or {}
