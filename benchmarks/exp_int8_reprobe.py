@@ -60,18 +60,39 @@ def build(dtype, acc_dtype, out_dtype):
     return run, a, b
 
 
+def build_xla(dtype, acc_dtype, out_dtype):
+    """Same shapes through XLA's own batched dot_general (no Pallas) — the
+    third route: round 1 probed XLA ``conv_general_dilated`` int8, round 2
+    probed Mosaic ``dot_general`` int8; XLA-level matmul was never probed."""
+    a = jnp.ones((BLOCKS, M, K), dtype)
+    b = jnp.ones((BLOCKS, K, N), dtype)
+
+    @jax.jit
+    def run(a, b, s):
+        o = jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=acc_dtype,
+        ).astype(out_dtype)
+        return o + s
+
+    return run, a, b
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20)
     args = ap.parse_args()
 
     flops = 2 * M * K * N * BLOCKS
-    for name, dtype, acc, out in (
-        ("bf16->f32", jnp.bfloat16, jnp.float32, jnp.bfloat16),
-        ("int8->i32", jnp.int8, jnp.int32, jnp.int32),
+    for name, builder, dtype, acc, out in (
+        ("pallas bf16->f32", build, jnp.bfloat16, jnp.float32, jnp.bfloat16),
+        ("pallas int8->i32", build, jnp.int8, jnp.int32, jnp.int32),
+        ("xla    bf16->f32", build_xla, jnp.bfloat16, jnp.float32, jnp.bfloat16),
+        ("xla    int8->i32", build_xla, jnp.int8, jnp.int32, jnp.int32),
     ):
         try:
-            run, a, b = build(dtype, acc, out)
+            run, a, b = builder(dtype, acc, out)
             dt = forced_timeit(lambda i: run(a, b, jnp.asarray(i, out)), args.iters)
             print(f"{name}: {dt*1e3:7.2f} ms  {flops/dt/1e12:6.1f} T(FL)OP/s", flush=True)
         except Exception as e:
