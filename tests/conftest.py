@@ -53,3 +53,62 @@ if not _needs_reexec():
         ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+# --------------------------------------------------------------- smoke tier
+# ``pytest -m smoke`` — a <3 min cross-subsystem sanity pass (VERDICT r3
+# item 5): every subsystem imports and one math-oracle/behavior check each.
+# Centralized here (not as decorators) so the tier reads as one list;
+# entries are ``file::function`` with parametrized IDs matching by prefix.
+_SMOKE = {
+    # config + registry
+    "test_config.py::test_comment_stripping_and_phase",
+    "test_config.py::test_all_shipped_configs_parse",
+    "test_config.py::test_init_obj_unknown_raises_not_implemented",
+    # degradation ops (numpy/cv2 oracles, tiny shapes)
+    "test_degradations.py::test_scalar_ops_match_numpy",
+    "test_degradations.py::test_noise_statistics",
+    "test_degradations.py::test_unknown_degradation_raises",
+    "test_color_ops.py::test_hsv_roundtrip",
+    "test_severity_ops.py::test_severity_parameter_mappings",
+    # losses / metrics / post-processing
+    "test_losses_metrics.py::test_psnr_known_value",
+    "test_losses_metrics.py::test_ssim_properties",
+    "test_losses_metrics.py::test_unknown_loss_raises",
+    "test_postprocessing.py::test_factory_chain_and_errors",
+    # data layer
+    "test_data.py::test_normalize_semantics",
+    "test_data.py::test_paired_dataset_pairing_modes",
+    # models
+    "test_cdan.py::test_param_count_matches_reference_exactly",
+    "test_cdan.py::test_cbam_forward_shapes_and_gating",
+    # pallas kernels (interpreter mode, small shapes)
+    "test_pallas_kernels.py::test_fused_dense_block_dense_activations_hard_case",
+    "test_growth_train.py::test_fused_flag_falls_back_on_unsupported_grid",
+    "test_noise_kernel.py::test_kernel_math_matches_numpy_oracle",
+    # engine end-to-end (TinyNet, 2 epochs, 16x24)
+    "test_engine.py::test_train_writes_weights_and_logs",
+    # parallel / routing
+    "test_parallel.py::test_create_mesh_shapes",
+    "test_pipeline.py::test_top1_routes_to_argmax_expert",
+    # native IO + streaming serving
+    "test_io_native.py::test_encode_png_roundtrip",
+    "test_streaming.py::test_decode_chunk_shapes_and_values",
+    # classifier workload + generators
+    "test_classifier.py::test_f1_math_known_values",
+    "test_classifier.py::test_pos_weight",
+    "test_classifier_synthetic.py::test_plan_variant_is_md5_stable",
+    "test_select_clean_images.py::test_selector_seed_determinism",
+    # jpeg math + graft entry plumbing
+    "test_graft_entry.py::test_jpeg_quality_tables",
+    "test_graft_entry.py::test_dct_roundtrip_identity",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        base = f"{os.path.basename(item.fspath)}::{item.function.__name__}"
+        if base in _SMOKE:
+            item.add_marker(pytest.mark.smoke)
