@@ -29,8 +29,15 @@ from benchmarks.microbench import forced_timeit
 M, K, N, BLOCKS = 1536, 512, 2048, 32
 
 
+# The 2026-08 toolchain double-buffers pallas out blocks: a [1, M, N] i32
+# block (12.6 MB) blows the 16 MB scoped-vmem limit that the round-2
+# toolchain accepted.  N is therefore split across the grid so every
+# buffer fits with double-buffering (out block [1, M, N_BLOCK] ≤ 3.1 MB).
+N_BLOCK = 512
+
+
 def _mm_kernel(a_ref, b_ref, o_ref, *, acc_dtype):
-    # refs carry the leading grid-block dim: [1, M, K] / [1, K, N]
+    # refs carry the leading grid-block dim: [1, M, K] / [1, K, N_BLOCK]
     o_ref[0] = jax.lax.dot_general(
         a_ref[0],
         b_ref[0],
@@ -44,12 +51,14 @@ def build(dtype, acc_dtype, out_dtype):
     b = jnp.ones((BLOCKS, K, N), dtype)
     call = pl.pallas_call(
         functools.partial(_mm_kernel, acc_dtype=acc_dtype),
-        grid=(BLOCKS,),
+        grid=(BLOCKS, N // N_BLOCK),
         in_specs=[
-            pl.BlockSpec((1, M, K), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, K), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K, N_BLOCK), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, M, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, M, N_BLOCK), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM
+        ),
         out_shape=jax.ShapeDtypeStruct((BLOCKS, M, N), out_dtype),
     )
 
