@@ -112,9 +112,14 @@ def _time_left() -> float:
 
 # Persistent compilation cache: repeat runs (driver re-invocations, retries)
 # skip the 20-40 s XLA compiles entirely.  /root/scratch survives VM resets.
+# Exported as the ENV VAR, not just jax.config: the package __init__ only
+# respects an existing JAX_COMPILATION_CACHE_DIR — without the export its
+# TPU branch would re-point the config at the (cold) ~/.jax_cache when
+# build_pipeline imports it, silently dropping the warm cache.
 _CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/scratch/jaxcache")
 try:
     os.makedirs(_CACHE_DIR, exist_ok=True)
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = _CACHE_DIR
 except OSError:
     _CACHE_DIR = None
 
