@@ -187,6 +187,25 @@ def _make_term(name: str, args: Dict[str, Any]) -> Callable[..., jax.Array]:
 
         return lpips
 
+    if name == "channel_mean":
+        # Framework extension (not in the reference's factory,
+        # /root/reference/utils/loss_factory.py:138-233): L1 between
+        # per-image per-channel spatial means.  Targets global
+        # color-statistics errors directly — the failure mode of the
+        # color_distortion task (per-channel gain uniform(0.6,1.4),
+        # /root/reference/datasets_generation/
+        # generate_paired_degradation_dataset.py:175-178), where pixelwise
+        # terms dilute the single global-gain signal over all pixels.
+
+        def channel_mean(outputs, targets=None, inputs=None, mask=None):
+            _require_targets("channel_mean", targets)
+            axes = tuple(range(1, outputs.ndim - 1))  # spatial dims of NHWC
+            out_means = jnp.mean(outputs, axis=axes)  # [B, C]
+            tgt_means = jnp.mean(targets, axis=axes)
+            return masked_mean(jnp.abs(out_means - tgt_means), mask)
+
+        return channel_mean
+
     if name == "gradient_l1":
         to_gray = bool(args.get("to_gray", False))
 

@@ -217,3 +217,32 @@ def test_masked_pipelines_equal_unpadded():
     mgot = mp(pad(out_v), targets=pad(tgt_v), mask=mask)
     for k in mref:
         assert abs(float(mref[k]) - float(mgot[k])) < 1e-4, k
+
+
+def test_channel_mean_term(xy):
+    """channel_mean (framework extension): L1 of per-image channel means.
+
+    A uniform per-channel gain error of g on x vs x must score
+    |g|*mean_c(x_c averages); invariance to zero-mean spatial noise."""
+    xj, _ = xy
+    pipe = build_loss_pipeline(
+        {"enabled": True, "terms": [{"name": "channel_mean", "weight": 1.0}]}
+    )
+    gains = jnp.asarray([1.1, 0.8, 1.0])
+    res = pipe(xj * gains, targets=xj)
+    expected = float(
+        jnp.mean(jnp.abs((gains - 1.0) * jnp.mean(xj, axis=(1, 2))))
+    )
+    assert abs(float(res["channel_mean"]) - expected) < 1e-6
+    # spatially zero-mean perturbation leaves the term ~0
+    rng = np.random.RandomState(0)
+    noise = rng.rand(*np.asarray(xj).shape).astype(np.float32)
+    noise -= noise.mean(axis=(1, 2), keepdims=True)
+    res2 = pipe(xj + jnp.asarray(noise), targets=xj)
+    assert float(res2["channel_mean"]) < 1e-6
+    # mask: second sample invalid -> only first sample's error counts
+    res3 = pipe(xj * gains, targets=xj, mask=jnp.asarray([1.0, 0.0]))
+    expected0 = float(
+        jnp.mean(jnp.abs((gains - 1.0) * jnp.mean(xj[:1], axis=(1, 2))))
+    )
+    assert abs(float(res3["channel_mean"]) - expected0) < 1e-6
