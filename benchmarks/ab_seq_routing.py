@@ -93,6 +93,13 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=30)
     ap.add_argument("--hw", type=int, nargs=2, default=[128, 192])
     ap.add_argument("--n-test", type=int, default=48)
+    ap.add_argument(
+        "--capacity-factor", type=float, default=0.0,
+        help="top1 capacity factor; 0 (default) = n_experts, i.e. drop-free "
+        "even when every image routes to one expert.  The production "
+        "default (2.0) DROPS overflow on degradation-skewed batches — "
+        "measured 2026-08-20: singles 'control' read +8 dB for sequential "
+        "purely from 16/48 images passing through unrestored.")
     ap.add_argument("--workdir", default="/root/scratch/ab_seq")
     ap.add_argument("--out", default=os.path.join(
         REPO, "tools", "parity", "results_r3", "seq_routing_ab.json"))
@@ -120,8 +127,9 @@ def main() -> None:
     dtype = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
     network = CDAN(dtype=dtype)
     names, bank = load_expert_bank(network, weight_paths, input_hw=(h, w))
+    cap = args.capacity_factor or float(len(names))
     routers = {
-        mode: RoutedRestorer(network, names, bank, mode=mode)
+        mode: RoutedRestorer(network, names, bank, mode=mode, capacity_factor=cap)
         for mode in ("top1", "sequential")
     }
     thresholds = [0.5] * len(names)
@@ -171,6 +179,7 @@ def main() -> None:
             "tasks": tasks, "epochs": args.epochs, "hw": [h, w],
             "n_test": args.n_test, "oracle_probs": [0.9, 0.8],
             "thresholds": 0.5, "backend": jax.default_backend(),
+            "capacity_factor": cap,
         },
         "rows": rows,
         "singles_mean_delta_db": float(np.mean(
