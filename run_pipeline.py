@@ -65,7 +65,16 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="output directory for restored PNGs")
     ap.add_argument("--classifier", required=True, help="classifier best_model.msgpack")
     ap.add_argument("--weights-dir", required=True, help="dir with CDAN_<task>.pt files")
-    ap.add_argument("--mode", choices=["top1", "sequential"], default="top1")
+    ap.add_argument(
+        "--mode", choices=["top1", "sequential"], default="top1",
+        help="top1 (default): each image visits its argmax expert only — "
+        "use for single-degradation streams (the A/B control ties the two "
+        "modes to 0.01 dB there).  sequential: every expert above its "
+        "threshold applies in bank order, at up to E× the compute — "
+        "measured +2.7 dB mean PSNR on doubly-degraded inputs "
+        "(tools/parity/results_r3/seq_routing_ab.json; per-pair deltas "
+        "range -10..+14 dB — expert application order matters), so prefer "
+        "it when multi-label inputs are expected and throughput allows.")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--input-hw", type=int, nargs=2, default=[256, 384])
     ap.add_argument("--save-probs", action="store_true", help="write probs.jsonl")
