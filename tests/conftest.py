@@ -105,6 +105,64 @@ _SMOKE = {
 }
 
 
+# Demoted to the slow tier by measured duration (2026-08-20 full-suite
+# timing, /root/scratch/pytest_durations_r4.log; VERDICT r3 item 5 asked
+# for a <5 min default tier).  Every demoted area keeps a fast
+# representative in the default/smoke tier; `pytest -m slow` runs these.
+_SLOW = {
+    # full-CDAN init statistics / serving-path equivalence (module fixture
+    # alone compiles CDAN twice)
+    "test_torch_init.py::test_torch_reinit_statistics",
+    "test_cdan_fast.py::test_fused_forward_matches_module",
+    "test_cdan_fast.py::test_cm_forward_matches_module",
+    "test_cdan_fast.py::test_engine_fused_flag_routes_eval",
+    "test_cdan_fast.py::test_serving_apply_dispatches_by_shape",
+    # engine-level BN recal (CLI trains); unit stats tests stay default
+    "test_bn_recalibration.py::test_engine_bn_recalibration_rewrites_checkpoint",
+    "test_bn_recalibration.py::test_engine_bn_recalibration_keeps_prerecal_backup",
+    # heavy engine equality/e2e variants; the core train/test CLI pair stays
+    "test_engine.py::test_scan_chunk_train_matches_host_loop",
+    "test_engine.py::test_engine_with_mesh_config",
+    "test_engine.py::test_unpaired_test_phase",
+    "test_engine.py::test_resume_from_full_state",
+    "test_engine.py::test_cli_train_lr_schedule",
+    # torch-mirror backbone conversions (stable; parity-critical but slow)
+    "test_backbone_parity.py::test_vgg19_features_matches_torch_mirror",
+    "test_backbone_parity.py::test_alexnet_taps_match_torch_mirror",
+    "test_backbone_parity.py::test_vgg16_taps_match_torch_mirror",
+    "test_backbone_parity.py::test_squeeze_taps_match_torch_mirror",
+    # Pallas interpreter sweeps (hard_case + fallback + tiled stay default)
+    "test_pallas_kernels.py::test_fused_dense_block_matches_module",
+    "test_pallas_kernels.py::test_cm_dense_block_matches_module",
+    "test_pallas_kernels.py::test_cm2_fused_io_matches_module",
+    "test_pallas_kernels.py::test_cm2_nhwc_io_matches_module",
+    "test_pallas_kernels.py::test_cm2_bf16_activate_matches_module",
+    "test_pallas_kernels.py::test_cm2_k_stacked_taps_match_module",
+    "test_growth_train.py::test_fused_dense_block_gradient_class",
+    "test_growth_train.py::test_growth_layer_tiled_grad_matches_autodiff",
+    "test_growth_train.py::test_fused_dense_block_matches_canonical",
+    # misc heavy
+    "test_classifier_synthetic.py::test_loader_batches_group_by_template_and_degrade",
+    "test_color_ops.py::test_hsv_and_clahe_transform_ops_run",
+    "test_losses_metrics.py::test_masked_pipelines_equal_unpadded",
+    "test_losses_metrics.py::test_vgg_and_lpips_terms_run",
+    # second wave (default still ~8 min CPU after the first):
+    # torch-CDAN transplant parity (torch CDAN fixture + full Flax forward)
+    "test_reference_parity.py::test_weight_transplant_forward_parity",
+    "test_reference_parity.py::test_port_rejects_shape_mismatch",
+    # the driver compile-checks entry() itself every round
+    "test_graft_entry.py::test_entry_traces_with_correct_shapes",
+    # compiles all 9 degradations in one batch graph; per-op cv2 oracles
+    # cover the math in the default tier
+    "test_degradations.py::test_degrade_batch_domain",
+    # spatial-sharding equality (DP equality stays default)
+    "test_parallel.py::test_data_spatial_mesh_compiles_and_runs",
+    "test_parallel.py::test_spatial_sharded_step_matches_single_device",
+    "test_backbone_parity.py::test_lpips_alex_formula_matches_torch",
+    "test_backbone_parity.py::test_lpips_vgg_and_squeeze_run",
+}
+
+
 def pytest_collection_modifyitems(config, items):
     import pytest
 
@@ -112,3 +170,5 @@ def pytest_collection_modifyitems(config, items):
         base = f"{os.path.basename(item.fspath)}::{item.function.__name__}"
         if base in _SMOKE:
             item.add_marker(pytest.mark.smoke)
+        if base in _SLOW:
+            item.add_marker(pytest.mark.slow)
