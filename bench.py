@@ -102,8 +102,10 @@ for _sig in (signal.SIGTERM, signal.SIGINT, signal.SIGHUP):
         pass
 signal.signal(signal.SIGALRM, _alarm_handler)
 # Abandon in-flight work 30 s before the external budget so the normal
-# emit path still runs even if a compile/readback hangs.
-signal.alarm(max(int(_BUDGET_S) - 30, 60))
+# emit path still runs even if a compile/readback hangs.  For budgets too
+# small for a 30 s margin, fall back to 90% of the budget so the alarm
+# still fires BEFORE the deadline (a flat -30 would invert past it).
+signal.alarm(max(int(_BUDGET_S) - 30, int(_BUDGET_S * 0.9), 1))
 
 
 def _time_left() -> float:

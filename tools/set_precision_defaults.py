@@ -21,6 +21,8 @@ import glob
 import json
 import os
 
+from _cfgio import dump_commented_json, load_commented_json
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CFG_DIR = os.path.join(
     REPO, "multi_degradation_image_enhancement_tpu", "config"
@@ -53,8 +55,7 @@ def main() -> None:
             if not os.path.isfile(cfg_path):
                 print(f"  (no config {task}{suffix}.json)")
                 continue
-            with open(cfg_path) as f:
-                cfg = json.load(f)
+            cfg, comments = load_commented_json(cfg_path)
             train = cfg.setdefault("train", {})
             before = train.get("precision")
             if pin:
@@ -71,9 +72,7 @@ def main() -> None:
                   f"{'fp32' if pin else 'engine default'}"
                   f"{' (changed)' if changed else ''}")
             if changed and not args.dry_run:
-                with open(cfg_path, "w") as f:
-                    json.dump(cfg, f, indent=2)
-                    f.write("\n")
+                dump_commented_json(cfg_path, cfg, comments)
 
 
 if __name__ == "__main__":
