@@ -95,7 +95,8 @@ def make_train_step(network, loss_pipe, remat: bool = False):
         def loss_fn(params):
             outputs, mutated = forward(params, state.batch_stats, inputs, dropout_key)
             loss_dict = loss_pipe(
-                outputs, targets=targets, inputs=inputs, is_paired=True, mask=mask
+                outputs, targets=targets, inputs=inputs, is_paired=True, mask=mask,
+                training=True,
             )
             return loss_dict["total"], (loss_dict, mutated)
 

@@ -62,10 +62,24 @@ class LossPipeline:
 
     Pure and jit-compatible: ``is_paired`` is a static Python bool, all
     returned values are scalar arrays on device.
+
+    ``worst_case`` (optional ``{"fraction": f, "scale": s}``) enables
+    worst-case-weighted training: the per-image total loss is computed for
+    every image in the batch, the worst ``ceil(f·B)`` images get weight
+    ``s`` (the rest weight 1, weighted-mean normalized), and ``total``
+    becomes that weighted mean.  The selection is ``stop_gradient``-ed, so
+    gradients flow through the per-image losses only.  This targets
+    per-image tail failure modes (the color_distortion full-scale deficit
+    localizes to a heavy worst-image tail — tools/parity/results_r3/
+    full_color_paired_eval.json); the reference has no equivalent (its
+    loss is always the batch mean, ``utils/loss_factory.py:42-56``).
+    Applied only when called with ``training=True`` — eval totals stay
+    plain batch means, comparable across runs.
     """
 
-    def __init__(self, terms: List[LossTerm]):
+    def __init__(self, terms: List[LossTerm], worst_case: Optional[Dict[str, Any]] = None):
         self.terms = terms
+        self.worst_case = dict(worst_case) if worst_case else None
 
     def __call__(
         self,
@@ -74,7 +88,10 @@ class LossPipeline:
         inputs: Optional[jax.Array] = None,
         is_paired: bool = True,
         mask: Optional[jax.Array] = None,
+        training: bool = False,
     ) -> Dict[str, jax.Array]:
+        if training and self.worst_case is not None and is_paired:
+            return self._call_worst_case(outputs, targets, inputs, mask)
         components: Dict[str, jax.Array] = {}
         total = jnp.zeros((), dtype=jnp.float32)
         for term in self.terms:
@@ -87,6 +104,57 @@ class LossPipeline:
             components[term.name] = val
             total = total + term.weight * val
         components["total"] = total
+        return components
+
+    def _call_worst_case(
+        self,
+        outputs: jax.Array,
+        targets: Optional[jax.Array],
+        inputs: Optional[jax.Array],
+        mask: Optional[jax.Array],
+    ) -> Dict[str, jax.Array]:
+        b = outputs.shape[0]
+        frac = float(self.worst_case.get("fraction", 0.25))
+        scale = float(self.worst_case.get("scale", 3.0))
+        k = min(max(int(round(frac * b)), 1), b)
+
+        valid = (
+            jnp.ones((b,), jnp.float32)
+            if mask is None
+            else jnp.reshape(mask, (b,)).astype(jnp.float32)
+        )
+        components: Dict[str, jax.Array] = {}
+        per_image_total = jnp.zeros((b,), jnp.float32)
+        for term in self.terms:
+            if term.mode == "unpaired":
+                continue
+            fn = term.fn
+            if inputs is None:
+                val = jax.vmap(
+                    lambda o, t, fn=fn: fn(outputs=o[None], targets=t[None])
+                )(outputs, targets)
+            else:
+                val = jax.vmap(
+                    lambda o, t, i, fn=fn: fn(
+                        outputs=o[None], targets=t[None], inputs=i[None]
+                    )
+                )(outputs, targets, inputs)
+            val = val.reshape((b,)).astype(jnp.float32)
+            # report the plain (unweighted) masked mean so logged components
+            # stay comparable with stock runs
+            denom = jnp.maximum(jnp.sum(valid), 1.0)
+            components[term.name] = jnp.sum(val * valid) / denom
+            per_image_total = per_image_total + term.weight * val
+
+        # top-k selection on detached losses; padded (invalid) images can
+        # never be selected and carry zero weight
+        detached = jax.lax.stop_gradient(per_image_total)
+        ranked = jnp.where(valid > 0, detached, -jnp.inf)
+        thresh = jnp.sort(ranked)[b - k]
+        weights = jnp.where(ranked >= thresh, scale, 1.0) * valid
+        components["total"] = jnp.sum(weights * per_image_total) / jnp.maximum(
+            jnp.sum(weights), 1e-8
+        )
         return components
 
 
@@ -116,7 +184,7 @@ def build_loss_pipeline(
         args = t.get("args", {}) or {}
         mode = t.get("mode", "paired") or "paired"
         built.append(LossTerm(name=name, weight=weight, mode=mode, fn=_make_term(name, args)))
-    return LossPipeline(built)
+    return LossPipeline(built, worst_case=loss_cfg.get("worst_case"))
 
 
 def _make_term(name: str, args: Dict[str, Any]) -> Callable[..., jax.Array]:

@@ -246,3 +246,56 @@ def test_channel_mean_term(xy):
         jnp.mean(jnp.abs((gains - 1.0) * jnp.mean(xj[:1], axis=(1, 2))))
     )
     assert abs(float(res3["channel_mean"]) - expected0) < 1e-6
+
+
+def test_worst_case_weighting():
+    """worst_case: top-k images dominate total; eval path unaffected."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(4, 16, 16, 3).astype(np.float32))
+    t = jnp.array(x)
+    # image 2 is much worse than the others
+    bad = x.at[2].add(0.5)
+    cfg = {
+        "enabled": True,
+        "terms": [{"name": "l1", "weight": 1.0}],
+        "worst_case": {"fraction": 0.25, "scale": 3.0},
+    }
+    pipe = build_loss_pipeline(cfg)
+    stock = build_loss_pipeline({k: v for k, v in cfg.items() if k != "worst_case"})
+
+    # eval (training=False): identical to stock
+    ev, st = pipe(bad, targets=t), stock(bad, targets=t)
+    assert abs(float(ev["total"]) - float(st["total"])) < 1e-7
+
+    # training=True: weighted total exceeds the plain mean (worst image
+    # up-weighted), logged component stays the plain mean
+    tr = pipe(bad, targets=t, training=True)
+    assert float(tr["total"]) > float(st["total"]) + 1e-4
+    assert abs(float(tr["l1"]) - float(st["l1"])) < 1e-6
+    # weighted mean equals (3*L2 + sum(L_others)) / 6 for k=1, scale=3
+    per = jnp.mean(jnp.abs(bad - t), axis=(1, 2, 3))
+    expect = float((3 * per[2] + per[0] + per[1] + per[3]) / 6.0)
+    assert abs(float(tr["total"]) - expect) < 1e-6
+
+    # scale=1 degenerates to the stock mean
+    pipe1 = build_loss_pipeline({**cfg, "worst_case": {"fraction": 0.25, "scale": 1.0}})
+    tr1 = pipe1(bad, targets=t, training=True)
+    assert abs(float(tr1["total"]) - float(st["total"])) < 1e-6
+
+    # masked (padded) images are never selected and carry no weight
+    mask = jnp.asarray([1.0, 1.0, 0.0, 1.0])
+    trm = pipe(bad, targets=t, mask=mask, training=True)
+    worst_valid = jnp.argmax(jnp.where(mask > 0, per, -jnp.inf))
+    w = jnp.where(jnp.arange(4) == worst_valid, 3.0, 1.0) * mask
+    expect_m = float(jnp.sum(w * per) / jnp.sum(w))
+    assert abs(float(trm["total"]) - expect_m) < 1e-6
+
+    # jit + grad flow: gradient exists and is finite
+    def loss(o):
+        return pipe(o, targets=t, training=True)["total"]
+
+    g = jax.jit(jax.grad(loss))(bad)
+    assert np.all(np.isfinite(np.asarray(g)))
+    # the up-weighted image's gradient is ~3x an equal-loss unweighted one
+    g0 = np.abs(np.asarray(g[2])).mean()
+    assert g0 > 0
