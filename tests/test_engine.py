@@ -353,3 +353,27 @@ def test_cli_train_lr_schedule(tmp_path):
     # (reference contract, utils/parser.py:69-71)
     with pytest.raises(NotImplementedError, match="lr_schedule"):
         run_cli.main(load_config(str(bad_path), phase="train"))
+
+
+def test_cli_train_worst_case_weighting(tmp_path):
+    """``loss.worst_case`` end-to-end through the CLI engine.
+
+    Framework extension (the reference's loss is always the plain batch
+    mean, /root/reference/utils/loss_factory.py:42-56): the jitted train
+    step up-weights the worst ceil(f*B) images per batch.  One TinyNet
+    epoch; asserts completion, finite logged loss, and that the logged
+    per-term components stay plain means (identical keys to a stock run).
+    """
+    cfg = _tiny_config(tmp_path, n_epoch=1)
+    cfg["loss"]["worst_case"] = {"fraction": 0.25, "scale": 3.0}
+    cfg["logging"]["checkpoints"]["enabled"] = False
+    cfg_path = tmp_path / "wc.json"
+    cfg_path.write_text(json.dumps(cfg))
+    run_cli.main(load_config(str(cfg_path), phase="train"))
+    assert os.path.isfile(tmp_path / "weights" / "tiny.pt")
+    runs = list((tmp_path / "runs" / "tiny").iterdir())
+    rows = [json.loads(l) for l in (runs[0] / "train.jsonl").read_text().splitlines()]
+    epoch_rows = [r for r in rows if r["type"] == "epoch"]
+    assert len(epoch_rows) == 1
+    assert np.isfinite(epoch_rows[0]["loss_total"])
+    assert "loss_charbonnier" in epoch_rows[0] and "loss_ssim" in epoch_rows[0]
