@@ -132,6 +132,17 @@ def main() -> None:
         mode: RoutedRestorer(network, names, bank, mode=mode, capacity_factor=cap)
         for mode in ("top1", "sequential")
     }
+    # Ordering-policy arms (VERDICT r4 item 7): sequential with the expert
+    # application order driven by per-expert severities instead of fixed
+    # bank order.  The harness feeds ORACLE severities (outermost degradation
+    # highest — matching its oracle probs design), so "seq_sev" measures the
+    # ordering mechanism under the outermost-first hypothesis and
+    # "seq_sevasc" is the deliberately-wrong direction.  End-to-end with
+    # classifier-estimated severities is run_pipeline.py --ordering severity.
+    routers["seq_sev"] = RoutedRestorer(
+        network, names, bank, mode="sequential", ordering="severity")
+    routers["seq_sevasc"] = RoutedRestorer(
+        network, names, bank, mode="sequential", ordering="severity_asc")
     thresholds = [0.5] * len(names)
 
     clean255 = jnp.asarray(
@@ -155,22 +166,31 @@ def main() -> None:
             img255 = apply_degradation(t, img255, jax.random.fold_in(key, i))
         degraded01 = jnp.clip(img255 / 255.0, 0.0, 1.0)
         probs = np.zeros((args.n_test, len(names)), np.float32)
+        sevs = np.zeros((args.n_test, len(names)), np.float32)
         for i, t in enumerate(case):
             probs[:, names.index(t)] = 0.9 - 0.1 * i
+            # oracle severity: later-applied (outermost) scores higher
+            sevs[:, names.index(t)] = 0.5 + 0.3 * i
         probs = jnp.asarray(probs)
+        sevs = jnp.asarray(sevs)
         row = {
             "case": "+".join(case),
             "degraded_psnr": mean_psnr(degraded01),
         }
         for mode, router in routers.items():
-            out = router(degraded01, probs, thresholds)
+            if router.mode == "sequential" and router.ordering != "fixed":
+                out = router(degraded01, probs, thresholds, severities=sevs)
+            else:
+                out = router(degraded01, probs, thresholds)
             row[f"{mode}_psnr"] = mean_psnr(out)
         row["seq_minus_top1_db"] = row["sequential_psnr"] - row["top1_psnr"]
+        row["sev_minus_fixed_db"] = row["seq_sev_psnr"] - row["sequential_psnr"]
         rows.append(row)
         print(
             f"[ab_seq] {row['case']:<22} degraded {row['degraded_psnr']:6.2f}  "
             f"top1 {row['top1_psnr']:6.2f}  seq {row['sequential_psnr']:6.2f}  "
-            f"Δ(seq−top1) {row['seq_minus_top1_db']:+.2f} dB", flush=True)
+            f"sev {row['seq_sev_psnr']:6.2f}  sevasc {row['seq_sevasc_psnr']:6.2f}  "
+            f"Δ(sev−fixed) {row['sev_minus_fixed_db']:+.2f} dB", flush=True)
 
     singles = [r for r in rows if "+" not in r["case"]]
     pairs = [r for r in rows if "+" in r["case"]]
@@ -186,6 +206,11 @@ def main() -> None:
             [r["seq_minus_top1_db"] for r in singles])) if singles else None,
         "pairs_mean_delta_db": float(np.mean(
             [r["seq_minus_top1_db"] for r in pairs])) if pairs else None,
+        "pairs_mean_sev_minus_fixed_db": float(np.mean(
+            [r["sev_minus_fixed_db"] for r in pairs])) if pairs else None,
+        "pairs_mean_sevasc_minus_fixed_db": float(np.mean(
+            [r["seq_sevasc_psnr"] - r["sequential_psnr"] for r in pairs]))
+        if pairs else None,
         "throughput_ref": {
             "top1_img_s": 172, "sequential_img_s": 47,
             "note": "B=64/B=32 at 256x384, 9 experts, 2026-08-20 stage-P run",

@@ -85,12 +85,16 @@ class RoutedRestorer:
         mode: str = "top1",
         capacity_factor: float = 2.0,
         mesh=None,
+        ordering: str = "fixed",
     ):
         if mode not in ("top1", "sequential"):
             raise ValueError(f"Unknown routing mode: {mode}")
+        if ordering not in ("fixed", "severity", "severity_asc"):
+            raise ValueError(f"Unknown sequential ordering: {ordering}")
         self.network = network
         self.expert_names = list(expert_names)
         self.mode = mode
+        self.ordering = ordering
         self.capacity_factor = float(capacity_factor)
         self.variables = stacked_variables
         # Pad the bank so the expert axis shards evenly over the mesh (e.g.
@@ -155,7 +159,8 @@ class RoutedRestorer:
 
         if self.mode == "top1":
 
-            def restore(images: jax.Array, probs: jax.Array, thresholds: jax.Array):
+            def restore(images: jax.Array, probs: jax.Array, thresholds: jax.Array,
+                        severities: jax.Array = None):
                 b = images.shape[0]
                 capacity = max(1, int(np.ceil(b / n_experts * self.capacity_factor)))
                 expert_id = jnp.argmax(probs, axis=-1)  # [B]
@@ -191,9 +196,10 @@ class RoutedRestorer:
                 routed_mask = jnp.sum(dispatch, axis=(1, 2)) > 0  # dropped/clean → identity
                 return jnp.where(routed_mask[:, None, None, None], routed, images)
 
-        else:  # sequential multi-degradation restoration
+        elif self.ordering == "fixed":  # sequential, bank order
 
-            def restore(images: jax.Array, probs: jax.Array, thresholds: jax.Array):
+            def restore(images: jax.Array, probs: jax.Array, thresholds: jax.Array,
+                        severities: jax.Array = None):
                 out = images
                 for e in range(n_experts):
                     mask = probs[:, e] >= thresholds[e]
@@ -202,9 +208,46 @@ class RoutedRestorer:
                     out = jnp.where(mask[:, None, None, None], restored, out)
                 return out
 
+        else:  # sequential, severity-informed application order
+            descending = self.ordering == "severity"
+
+            def restore(images: jax.Array, probs: jax.Array, thresholds: jax.Array,
+                        severities: jax.Array = None):
+                # Batch-level order: experts sorted by their mean severity
+                # over the images that activate them (classifier severity
+                # head).  "severity" = highest first — the outermost/dominant
+                # degradation of a composition tends to present with the
+                # highest apparent severity, and wrong-order sequential
+                # composition costs up to −10.2 dB (PERF.md round 4);
+                # "severity_asc" is the control direction.  Falls back to
+                # bank order when no severities are provided.
+                out = images
+                if severities is None:
+                    order = jnp.arange(n_experts)
+                else:
+                    active = (probs >= thresholds[None, :]).astype(jnp.float32)
+                    score = jnp.sum(severities * active, axis=0) / jnp.maximum(
+                        jnp.sum(active, axis=0), 1.0
+                    )
+                    order = jnp.argsort(-score if descending else score)
+                for r in range(n_experts):
+                    e = order[r]
+                    mask = jnp.take(probs, e, axis=1) >= jnp.take(thresholds, e)
+                    expert_vars = jax.tree.map(
+                        lambda x: jax.lax.dynamic_index_in_dim(
+                            x, e, 0, keepdims=False
+                        ),
+                        self.variables,
+                    )
+                    restored = self._apply_one(expert_vars, out)
+                    out = jnp.where(mask[:, None, None, None], restored, out)
+                return out
+
         return restore
 
-    def __call__(self, images: jax.Array, probs: jax.Array, thresholds) -> jax.Array:
+    def __call__(
+        self, images: jax.Array, probs: jax.Array, thresholds, severities=None
+    ) -> jax.Array:
         """Restore a batch given classifier probabilities.
 
         Args:
@@ -212,8 +255,15 @@ class RoutedRestorer:
           probs: [B,E] per-degradation probabilities (classifier sigmoids),
             columns ordered like ``expert_names``.
           thresholds: [E] per-class decision thresholds.
+          severities: optional [B,E] severity scores (classifier severity
+            head, sigmoid in [0,1]) — drives the application order in
+            sequential mode with ``ordering="severity"``.
         """
-        return self._restore(images, probs, jnp.asarray(thresholds, jnp.float32))
+        if severities is None:
+            return self._restore(images, probs, jnp.asarray(thresholds, jnp.float32))
+        return self._restore(
+            images, probs, jnp.asarray(thresholds, jnp.float32), severities
+        )
 
 
 class FullPipeline:
@@ -243,15 +293,25 @@ class FullPipeline:
         std = jnp.asarray(IMAGENET_STD, jnp.float32)
 
         @jax.jit
-        def classify(images01: jax.Array) -> jax.Array:
+        def classify_full(images01: jax.Array) -> Tuple[jax.Array, jax.Array]:
             x = (images01 - mean) / std if normalize else images01
-            cls_logits, _ = classifier_model.apply(classifier_variables, x, train=False)
-            return jax.nn.sigmoid(cls_logits)[:, jnp.asarray(perm)]
+            cls_logits, sev_logits = classifier_model.apply(
+                classifier_variables, x, train=False
+            )
+            cols = jnp.asarray(perm)
+            return (
+                jax.nn.sigmoid(cls_logits)[:, cols],
+                jax.nn.sigmoid(sev_logits)[:, cols],
+            )
 
-        self._classify = classify
+        self._classify_full = classify_full
+        self._classify = jax.jit(lambda images01: classify_full(images01)[0])
         self._thr = self.thresholds[jnp.asarray(perm)]
 
     def __call__(self, images01: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """Returns (restored images, per-degradation probabilities)."""
+        if self.router.mode == "sequential" and self.router.ordering != "fixed":
+            probs, sevs = self._classify_full(images01)
+            return self.router(images01, probs, self._thr, severities=sevs), probs
         probs = self._classify(images01)
         return self.router(images01, probs, self._thr), probs

@@ -75,6 +75,13 @@ def main() -> None:
         "(tools/parity/results_r3/seq_routing_ab.json; per-pair deltas "
         "range -10..+14 dB — expert application order matters), so prefer "
         "it when multi-label inputs are expected and throughput allows.")
+    ap.add_argument(
+        "--ordering", choices=["fixed", "severity", "severity_asc"],
+        default="fixed",
+        help="sequential-mode expert application order: fixed bank order "
+        "(default) or sorted by the classifier severity head (descending "
+        "for 'severity' — outermost-degradation-first; 'severity_asc' is "
+        "the control direction).  Ignored in top1 mode.")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--input-hw", type=int, nargs=2, default=[256, 384])
     ap.add_argument("--save-probs", action="store_true", help="write probs.jsonl")
@@ -161,7 +168,8 @@ def main() -> None:
             {"expert": args.expert_mesh}, devices=jax.devices()[: args.expert_mesh]
         )
         print(f"[pipeline] expert bank sharded over {args.expert_mesh} devices")
-    router = RoutedRestorer(network, expert_names, stacked, mode=args.mode, mesh=mesh)
+    router = RoutedRestorer(network, expert_names, stacked, mode=args.mode,
+                            mesh=mesh, ordering=args.ordering)
     pipeline = FullPipeline(clf, clf_vars, router, thresholds, classes=classes)
 
     # ---- run over the directory, streaming (decode-ahead + async writes) ----

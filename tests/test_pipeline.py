@@ -104,3 +104,47 @@ def test_expert_bank_pads_to_mesh_axis(bank):
     a = plain(x, probs, [0.5, 0.5, 0.5])
     b = sharded(x, probs, [0.5, 0.5, 0.5])
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_sequential_severity_ordering(bank):
+    """ordering="severity": application order follows the severity head.
+
+    VERDICT r4 item 7 — the reference composes degradations in pipeline-order
+    templates (/root/reference/datasets_generation/generate_classifier_dataset.py:85-92);
+    sequential restoration order matters (wrong order costs up to −10.2 dB,
+    PERF.md round 4), so the bank can order by per-expert mean active
+    severity instead of fixed bank order.
+    """
+    net, names, stacked = bank
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 16, 24, 3), jnp.float32)
+    probs = jnp.asarray([[0.9, 0.9, 0.0], [0.9, 0.9, 0.0]], jnp.float32)
+    thr = [0.5, 0.5, 0.5]
+    # expert1 has higher severity than expert0 -> applied first
+    sevs = jnp.asarray([[0.2, 0.8, 0.0], [0.2, 0.8, 0.0]], jnp.float32)
+
+    router = RoutedRestorer(net, names, stacked, mode="sequential",
+                            ordering="severity")
+    out = router(x, probs, thr, severities=sevs)
+    step1 = net.apply(jax.tree.map(lambda v: v[1], stacked), x, train=False)
+    step0 = net.apply(jax.tree.map(lambda v: v[0], stacked), step1, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(step0), atol=1e-5)
+
+    # ascending control reverses the order
+    router_asc = RoutedRestorer(net, names, stacked, mode="sequential",
+                                ordering="severity_asc")
+    out_asc = router_asc(x, probs, thr, severities=sevs)
+    s0 = net.apply(jax.tree.map(lambda v: v[0], stacked), x, train=False)
+    s01 = net.apply(jax.tree.map(lambda v: v[1], stacked), s0, train=False)
+    np.testing.assert_allclose(np.asarray(out_asc), np.asarray(s01), atol=1e-5)
+    assert not np.allclose(np.asarray(out), np.asarray(out_asc))
+
+    # without severities: falls back to bank order (== fixed-order router)
+    fixed = RoutedRestorer(net, names, stacked, mode="sequential")
+    np.testing.assert_allclose(
+        np.asarray(router(x, probs, thr)),
+        np.asarray(fixed(x, probs, thr)), atol=1e-6,
+    )
+
+    # bad ordering name raises
+    with pytest.raises(ValueError, match="ordering"):
+        RoutedRestorer(net, names, stacked, mode="sequential", ordering="bogus")
