@@ -52,7 +52,7 @@ _RUNNER = textwrap.dedent(
     def _define_and_load(cfg_net):
         net = _orig_define(cfg_net)
         net.load_state_dict(torch.load(ckpt, map_location="cpu"))
-        print(f"[ref-continue] loaded {ckpt}", flush=True)
+        print("[ref-continue] loaded " + ckpt, flush=True)
         return net
     _parser.define_network = _define_and_load
     sys.argv = ["run.py", "-c", sys.argv[1], "-p", sys.argv[2]]
