@@ -385,6 +385,14 @@ class Model(BaseModel):
 
             return jax.lax.scan(body, state, xs)
 
+        mesh_cfg = (self.config.get("train", {}) or {}).get("mesh")
+        if mesh_cfg:
+            from multi_degradation_image_enhancement_tpu.parallel.mesh import (
+                create_mesh,
+                shard_scan_train_step,
+            )
+
+            return shard_scan_train_step(chunk_fn, create_mesh(mesh_cfg))
         return jax.jit(chunk_fn, donate_argnums=(0,))
 
     def _train_epoch_scan(self, epoch: int, root_key, resume_dir, iterator):
@@ -534,12 +542,6 @@ class Model(BaseModel):
         train_fn = None
         resume_dir = (self.config.get("train", {}) or {}).get("resume")
         scan_mode = self.scan_chunk > 1
-        if scan_mode and (self.config.get("train", {}) or {}).get("mesh"):
-            print(
-                "[ENGINE] train.scan_chunk ignored: not composed with"
-                " train.mesh (sharded steps run host-loop)"
-            )
-            scan_mode = False
 
         for epoch in range(self.epoch):
             t0 = time.time()

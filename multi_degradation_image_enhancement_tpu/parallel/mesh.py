@@ -115,6 +115,30 @@ def shard_train_step(step_fn, mesh: Mesh):
     return call
 
 
+def shard_scan_train_step(chunk_fn, mesh: Mesh):
+    """Compile a scan-chunk train step (``engine._build_scan_train_step``'s
+    ``chunk_fn``) for the mesh.
+
+    The xs are stacked on a leading chunk axis — sequential time, never
+    sharded; each step's batch shards over ``data`` (+``spatial`` on H)
+    exactly like the host-loop path, so scan-chunk × mesh composes: the
+    device-side loop keeps epoch time pure device time AND every step runs
+    SPMD with compiled gradient all-reduces.
+    xs = (inputs[K,B,H,W,C], targets[K,B,H,W,C], keys[K], masks[K,B],
+    valid[K]).
+    """
+    rep = replicated(mesh)
+    spatial = SPATIAL_AXIS if SPATIAL_AXIS in mesh.axis_names else None
+    xsh = NamedSharding(mesh, P(None, DATA_AXIS, spatial))
+    msh = NamedSharding(mesh, P(None, DATA_AXIS))
+    return jax.jit(
+        chunk_fn,
+        in_shardings=(rep, (xsh, xsh, rep, msh, rep)),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
 def shard_eval_step(step_fn, mesh: Mesh):
     """Compile an eval step: params/stats replicated, batch sharded, outputs sharded."""
     rep = replicated(mesh)
