@@ -60,8 +60,11 @@ def _fmt(runs):
 def stock_ours_runs(row, res_dir):
     runs = [{"seed": 42, "psnr": row["ours"]["psnr"]}]
     path = os.path.join(res_dir, f"{row['workdir']}_seed_rerun.json")
-    sr = row.get("seed_rerun") or (
-        json.load(open(path)) if os.path.isfile(path) else {"runs": []}
+    # the standalone artifact is fresher than any copy embedded in
+    # parity_r3.json (queues append seeds to the standalone file only)
+    sr = (
+        json.load(open(path)) if os.path.isfile(path)
+        else row.get("seed_rerun") or {"runs": []}
     )
     for r in sr.get("runs", []):
         if r.get("torch_init") or r.get("original"):
