@@ -270,6 +270,7 @@ class Encoder(nn.Module):
     remat: bool = False
     stats_refresh: bool = False
     fused_dense: bool = False
+    growth_rate: int = 16
 
     @nn.compact
     def __call__(
@@ -283,19 +284,19 @@ class Encoder(nn.Module):
 
         out = Conv(64, dtype=self.dtype, stats_refresh=sr, name="conv1")(x, train)
         out = nn.max_pool(out, (2, 2), strides=(2, 2))
-        denses.append(Dense(64, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="dense1")(out, train))
+        denses.append(Dense(64, growth_rate=self.growth_rate, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="dense1")(out, train))
         out = drop(out)
         skips.append(out)
 
         out = Conv(128, dtype=self.dtype, stats_refresh=sr, name="conv2")(out, train)
         out = nn.max_pool(out, (2, 2), strides=(2, 2))
-        denses.append(Dense(128, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="dense2")(out, train))
+        denses.append(Dense(128, growth_rate=self.growth_rate, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="dense2")(out, train))
         out = drop(out)
         skips.append(out)
 
         out = Conv(256, dtype=self.dtype, stats_refresh=sr, name="conv3")(out, train)
         out = nn.max_pool(out, (2, 2), strides=(2, 2))
-        denses.append(Dense(256, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="dense3")(out, train))
+        denses.append(Dense(256, growth_rate=self.growth_rate, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="dense3")(out, train))
         out = drop(out)
         skips.append(out)
 
@@ -317,6 +318,7 @@ class Decoder(nn.Module):
     remat: bool = False
     stats_refresh: bool = False
     fused_dense: bool = False
+    growth_rate: int = 16
 
     @nn.compact
     def __call__(
@@ -360,7 +362,7 @@ class Decoder(nn.Module):
         out = _bilinear_x2(out)
         out = out + x  # global residual (reference cdan.py:154)
 
-        out = Dense(3, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="final_dense")(out, train)
+        out = Dense(3, growth_rate=self.growth_rate, dtype=self.dtype, stats_refresh=sr, fused=self.fused_dense, name="final_dense")(out, train)
         return jax.nn.sigmoid(out)
 
 
@@ -382,12 +384,20 @@ class CDAN(nn.Module):
     (measured +4.4 dB test PSNR on the low_light parity task — PARITY.md).
     The parameter tree is unchanged, so refresh instances apply to any
     existing checkpoint.
+
+    ``growth_rate`` (default 16 = reference parity, 3,585,663 params)
+    widens every DenseBlock's growth convs — the model's hot spot sits on
+    a structural 1/8-of-peak MXU roofline at 16 output channels (PERF.md
+    roofline), so a wide variant (e.g. 64/128) is the named architectural
+    opt-in for quality-per-wall-clock beyond the bf16 ceiling.  Non-16
+    growth keeps the XLA path (the fused Pallas kernels specialize on 16).
     """
 
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     stats_refresh: bool = False
     fused_dense: bool = False
+    growth_rate: int = 16
 
     @nn.compact
     def __call__(self, x: jax.Array, *, train: bool = False) -> jax.Array:
@@ -395,12 +405,14 @@ class CDAN(nn.Module):
         sr = self.stats_refresh
         out, skips, denses = Encoder(
             dtype=self.dtype, remat=self.remat, stats_refresh=sr,
-            fused_dense=self.fused_dense, name="encoder"
+            fused_dense=self.fused_dense, growth_rate=self.growth_rate,
+            name="encoder"
         )(x, train=train)
         out = Cbam(512, dtype=self.dtype, stats_refresh=sr, name="bottleneck")(out, train)
         out = Decoder(
             dtype=self.dtype, remat=self.remat, stats_refresh=sr,
-            fused_dense=self.fused_dense, name="decoder"
+            fused_dense=self.fused_dense, growth_rate=self.growth_rate,
+            name="decoder"
         )(x, out, skips, denses, train=train)
         # Return in the compute dtype's fp32 form for stable losses/metrics.
         return out.astype(jnp.float32)

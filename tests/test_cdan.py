@@ -62,3 +62,20 @@ def test_cdan_forward_range_and_shape():
     y = model.apply(variables, x, train=False)
     assert y.shape == x.shape
     assert float(y.min()) >= 0.0 and float(y.max()) <= 1.0
+
+
+def test_growth_rate_variant():
+    """growth_rate widens the DenseBlocks (architectural opt-in, PERF.md
+    roofline); default 16 stays exact reference parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from multi_degradation_image_enhancement_tpu.models.cdan import CDAN
+
+    x = jnp.zeros((1, 16, 24, 3), jnp.float32)
+    wide = CDAN(growth_rate=32)
+    v = wide.init({"params": jax.random.key(0)}, x, train=False)
+    n_wide = sum(p.size for p in jax.tree.leaves(v["params"]))
+    assert n_wide > 3_585_663  # strictly more than the growth-16 reference
+    out = wide.apply(v, x, train=False)
+    assert out.shape == x.shape
