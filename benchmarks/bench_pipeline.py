@@ -127,9 +127,28 @@ def main() -> None:
           f"{args.capacity_factor}): " + ", ".join(
               f"{k}={v:.3f}" for k, v in drops.items()))
 
+    # chip-health context for the recorded numbers (healthy ≈107 TF/s)
+    try:
+        a = jnp.ones((4096, 4096), jnp.bfloat16)
+
+        @jax.jit
+        def _anchor(m):
+            def body(c, _):
+                return jnp.tanh(c @ m), None
+            return jnp.mean(jax.lax.scan(body, m, None, length=20)[0])
+
+        float(_anchor(a))
+        import time as _time
+        t0 = _time.perf_counter()
+        float(_anchor(a))
+        anchor_tflops = round(20 * 2 * 4096**3 / (_time.perf_counter() - t0) / 1e12, 1)
+    except Exception:
+        anchor_tflops = None
+
     row = {
         "mode": args.mode, "batch": B, "hw": [H, W], "n_experts": E,
         "iters": args.iters, "backend": jax.default_backend(),
+        "chip_anchor_tflops": anchor_tflops,
         "classify_ms": t_cls * 1e3, "classify_img_s": B / t_cls,
         "pipeline_ms": t_all * 1e3, "pipeline_img_s": B / t_all,
         "capacity_factor": args.capacity_factor,
