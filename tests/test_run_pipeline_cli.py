@@ -91,6 +91,26 @@ def test_serving_cli_end_to_end(tmp_path):
     assert [r["file"] for r in rows] == ["im0.png", "im1.png", "im2.png"]
     assert set(rows[0]["probs"]) == {"noise"}  # only the loaded expert
 
+    # severity-ordered sequential mode through the same CLI (the ordering
+    # path pulls the classifier's severity head into the router)
+    out2 = tmp_path / "out_seq"
+    res = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "run_pipeline.py"),
+            "--images", str(img_dir), "--out", str(out2),
+            "--classifier", str(ckpt), "--weights-dir", str(wdir),
+            "--batch", "2", "--input-hw", str(HW[0]), str(HW[1]),
+            "--mode", "sequential", "--ordering", "severity",
+            "--io-threads", "2",
+        ],
+        capture_output=True, text=True, timeout=1200,
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        cwd=REPO,
+    )
+    assert res.returncode == 0, res.stderr[-4000:]
+    for i in range(3):
+        assert (out2 / f"im{i}.png").is_file()
+
 
 def test_resolve_thresholds_merges_per_class(tmp_path):
     """ADVICE r2: a run thresholds file lacking some classes must fall back
