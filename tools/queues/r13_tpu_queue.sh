@@ -15,6 +15,7 @@
 #
 # Usage: setsid nohup bash tools/queues/r13_tpu_queue.sh > /root/scratch/r13_tpu_queue.log 2>&1 &
 set -u
+set -o pipefail
 cd /root/repo
 export JAX_COMPILATION_CACHE_DIR=/root/scratch/jaxcache
 mkdir -p /root/scratch/markers
