@@ -112,6 +112,11 @@ def shard_train_step(step_fn, mesh: Mesh):
             return jit4(state, inputs, targets, dropout_key)
         return jit5(state, inputs, targets, dropout_key, mask)
 
+    # expose the underlying jits for AOT compile-then-execute flows (the
+    # multi-host dryrun compiles explicitly, barriers across processes,
+    # then runs the Compiled object — execution starts stay aligned even
+    # when per-process compile times differ by minutes)
+    call._jits = (jit4, jit5)
     return call
 
 
